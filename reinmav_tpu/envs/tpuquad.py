@@ -1,0 +1,287 @@
+"""TPU-native rigid-body quadrotor — serves the reference's three
+MuJoCo-backed env IDs without the MuJoCo C engine.
+
+The reference wraps MuJoCo 1.5 (``gym_reinmav/envs/mujoco/mujoco_quad.py``
+C7-C9, ``assets/*.xml`` C10).  Per the north star, MuJoCo is out of scope
+except as a CPU oracle; these envs are *behavioural analogues* built as a
+pure-JAX free rigid body:
+
+* Physical constants derived from the XML geoms (``inertiafromgeom``):
+  total mass 0.3 kg (force model) / 0.4 kg (quat model), diagonal inertia
+  computed from the box/cylinder geoms about the CoM (see values below),
+  gravity (0,0,-9.81), physics dt=0.01, frame_skip=2
+  (``mujoco_quad.py:46``, ``quadrotor_ground.xml:3``).
+* Actuators (force models, ``quadrotor_ground.xml:34-39``): four motors at
+  body positions (±0.1, ±0.1, 0.01) with gear ``[0 0 1 0 0 ∓0.1]`` —
+  thrust along body z plus yaw torque ∓0.1 per unit control, control
+  clamped to [0, 1].  Quat model (``quadrotor_quat.xml:34-39``): one thrust
+  motor (ctrlrange [0,4]) and three body-rate velocity servos with kv=0.1
+  (torque = kv·(ctrl − ω)).
+* Integration: semi-implicit Euler (MuJoCo's default integrator):
+  velocities first from forces at the current state, then positions from
+  the *new* velocities; quaternion advanced by the exponential map of
+  ``ω·dt`` (MuJoCo ``mj_integratePos`` semantics), renormalised.
+* Ground plane: MuJoCo's LCP contact is replaced by a compliant
+  spring-damper contact on the four rotor discs and the core
+  (documented approximation; the hovering/quaternion tasks operate off the
+  ground so the analogy holds where it matters).
+* Observations: ``concat(qpos, qvel)`` = [pos(3), quat wxyz(4), vel(3),
+  ω_body(3)] — 13-dim like the reference (``mujoco_quad.py:71-72``).
+* Rewards / termination replicate C7-C9 exactly:
+  - Force-v0 / Quat-v0: reward ≡ 0, done on non-finite obs.
+  - Force-v1 (hovering): shaped reward
+    ``−10‖pos−(0,0,1)‖² − 0.1‖qvel‖² − ‖a‖² + 0.1Σa + 100``, done if
+    non-finite, z ≤ 0.3, or |x|,|y| ≥ 2 (``mujoco_quad_hovering.py:48-58``;
+    note the reward uses the *raw* action while the dynamics use the
+    clipped one, as the reference does).
+* Reset: deterministic to the XML initial pose (``mujoco_quad.py:65-69``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops import quadmath as qm
+from .core import EnvDef, StepOut
+
+
+class Params(NamedTuple):
+    mass: float = 0.3
+    # Diagonal inertia about the CoM, from the XML geoms (computed
+    # analytically from quadrotor_ground.xml's boxes/cylinders).
+    inertia_diag: tuple = (0.00167872, 0.00175781, 0.0033807)
+    gravity: float = -9.81
+    dt: float = 0.01
+    frame_skip: int = 2
+    init_z: float = 0.0
+    # Motor geometry: (±0.1, ±0.1) arms, yaw gear ∓0.1 in XML order
+    # motor0(+x,+y,-yaw), motor1(+x,-y,+yaw), motor2(-x,-y,-yaw),
+    # motor3(-x,+y,+yaw).
+    arm_xy: float = 0.1
+    yaw_gear: float = 0.1
+    ctrl_high: float = 1.0
+    # Compliant ground contact (replaces MuJoCo's LCP solver).
+    contact_stiffness: float = 1000.0
+    contact_damping: float = 10.0
+    contact_friction: float = 2.0
+    contact_enabled: bool = True
+
+
+class QuatParams(NamedTuple):
+    mass: float = 0.4
+    inertia_diag: tuple = (0.00174122, 0.00189948, 0.00354153)
+    gravity: float = -9.81
+    dt: float = 0.01
+    frame_skip: int = 2
+    init_z: float = 0.0
+    thrust_high: float = 4.0
+    rate_kv: float = 0.1
+    rate_ctrl_high: float = 1.0
+    contact_stiffness: float = 1000.0
+    contact_damping: float = 10.0
+    contact_friction: float = 2.0
+    contact_enabled: bool = True
+
+
+# Motor body-frame positions and yaw-torque signs (XML site/gear order).
+_MOTOR_X = (1.0, 1.0, -1.0, -1.0)
+_MOTOR_Y = (1.0, -1.0, -1.0, 1.0)
+_YAW_SIGN = (-1.0, 1.0, -1.0, 1.0)
+# Contact points: rotor centres and the core bottom, body frame.
+_CONTACT_PTS = (
+    (0.1, 0.1, 0.0075),
+    (0.1, -0.1, 0.0075),
+    (-0.1, -0.1, 0.0075),
+    (-0.1, 0.1, 0.0075),
+    (0.0, 0.0, -0.025),
+)
+
+
+def _quat_integrate(quat: jnp.ndarray, omega_body: jnp.ndarray, dt) -> jnp.ndarray:
+    """Exponential-map quaternion integration (MuJoCo mj_integratePos
+    semantics): ``q' = q ⊗ exp(½ ω dt)``, renormalised.
+
+    Uses a sinc-safe form so ω → 0 is exact (no 0/0 under jit/vmap).
+    """
+    rot_vec = omega_body * dt
+    angle = jnp.linalg.norm(rot_vec)
+    half = 0.5 * angle
+    safe_angle = jnp.where(angle > 1e-9, angle, 1.0)
+    # sin(θ/2)/θ → 1/2 as θ → 0
+    sinc_half = jnp.where(angle > 1e-9, jnp.sin(half) / safe_angle, 0.5)
+    dq = jnp.concatenate([jnp.cos(half)[None], rot_vec * sinc_half])
+    return qm.quat_normalize(qm.quat_mul(quat, dq))
+
+
+def _contact_wrench(p, pos, quat, vel, omega_body, rot):
+    """Compliant plane contact: normal spring-damper + tangential viscous
+    friction at each contact point.  Returns world force and body torque."""
+    force_w = jnp.zeros(3, pos.dtype)
+    torque_b = jnp.zeros(3, pos.dtype)
+    pts = jnp.asarray(_CONTACT_PTS, pos.dtype)
+    for i in range(pts.shape[0]):
+        r_b = pts[i]
+        r_w = rot @ r_b
+        p_w = pos + r_w
+        v_w = vel + rot @ jnp.cross(omega_body, r_b)
+        pen = -p_w[2]
+        fn = jnp.maximum(p.contact_stiffness * pen - p.contact_damping * v_w[2], 0.0)
+        active = pen > 0.0
+        fn = jnp.where(active, fn, 0.0)
+        ft = jnp.where(active, -p.contact_friction * fn * v_w[:2], jnp.zeros(2, pos.dtype))
+        f_w = jnp.concatenate([ft, fn[None]])
+        force_w = force_w + f_w
+        torque_b = torque_b + jnp.cross(r_b, rot.T @ f_w)
+    return force_w, torque_b
+
+
+def _physics_step(p, state, thrust_per_motor, yaw_torque, extra_torque_b, dt):
+    """One semi-implicit Euler physics step of the free body.
+
+    ``thrust_per_motor``: (4,) forces along body z at the motor positions.
+    ``yaw_torque``: scalar body-z torque from the motor gears.
+    ``extra_torque_b``: additional body torque (rate servos).
+    """
+    pos, quat, vel, omega = state[0:3], state[3:7], state[7:10], state[10:13]
+    dtype = state.dtype
+    rot = qm.quat_to_rotmat(qm.quat_normalize(quat))
+    inertia = jnp.asarray(p.inertia_diag, dtype)
+
+    total_thrust = jnp.sum(thrust_per_motor)
+    force_w = rot[:, 2] * total_thrust + jnp.asarray([0.0, 0.0, p.gravity * p.mass], dtype)
+
+    # τ = Σ rᵢ × (Fᵢ ẑ) = Σ Fᵢ·(yᵢ, −xᵢ, 0) in the body frame.
+    mx = (jnp.asarray(_MOTOR_Y, dtype) * p.arm_xy) @ thrust_per_motor
+    my = -(jnp.asarray(_MOTOR_X, dtype) * p.arm_xy) @ thrust_per_motor
+    torque_b = jnp.stack([mx, my, yaw_torque]) + extra_torque_b
+
+    if p.contact_enabled:
+        cf_w, ct_b = _contact_wrench(p, pos, quat, vel, omega, rot)
+        force_w = force_w + cf_w
+        torque_b = torque_b + ct_b
+
+    # Euler rigid-body: I ω̇ = τ − ω × (I ω)
+    omega_dot = (torque_b - jnp.cross(omega, inertia * omega)) / inertia
+    acc = force_w / p.mass
+
+    vel_new = vel + acc * dt            # velocities first (semi-implicit)
+    omega_new = omega + omega_dot * dt
+    pos_new = pos + vel_new * dt        # positions from NEW velocities
+    quat_new = _quat_integrate(quat, omega_new, dt)
+    return jnp.concatenate([pos_new, quat_new, vel_new, omega_new])
+
+
+def _force_env_step(p: Params, s, a, hovering: bool):
+    raw_a = a
+    ctrl = jnp.clip(a, 0.0, p.ctrl_high)  # clip_action + ctrlrange clamp
+    dt = jnp.asarray(p.dt, s.dtype)
+
+    state = s
+    for _ in range(p.frame_skip):
+        # Torque about x: Σ F_i·y_i ; about y: −Σ F_i·x_i (r × F ẑ).
+        yaw = p.yaw_gear * (jnp.asarray(_YAW_SIGN, s.dtype) @ ctrl)
+        state = _physics_step(p, state, ctrl, yaw, jnp.zeros(3, s.dtype), dt)
+
+    obs = state
+    finite = jnp.all(jnp.isfinite(obs))
+    if hovering:
+        pos_err = obs[0:3] - jnp.asarray([0.0, 0.0, 1.0], s.dtype)
+        reward = (
+            -10.0 * jnp.sum(jnp.square(pos_err))
+            - 0.1 * jnp.sum(jnp.square(obs[7:13]))
+            - jnp.sum(jnp.square(raw_a))
+            + 0.1 * jnp.sum(raw_a)
+            + 100.0
+        )
+        alive = finite & (obs[2] > 0.3) & (jnp.abs(obs[0]) < 2.0) & (jnp.abs(obs[1]) < 2.0)
+        done = ~alive
+    else:
+        reward = jnp.asarray(0.0, s.dtype)
+        done = ~finite
+    return StepOut(state, obs, reward, done)
+
+
+def _quat_env_step(p: QuatParams, s, a):
+    thrust_cmd = jnp.clip(a[0], 0.0, p.thrust_high)
+    rate_cmd = jnp.clip(a[1:4], -p.rate_ctrl_high, p.rate_ctrl_high)
+    dt = jnp.asarray(p.dt, s.dtype)
+
+    state = s
+    for _ in range(p.frame_skip):
+        omega = state[10:13]
+        servo_torque = p.rate_kv * (rate_cmd - omega)
+        # Single central thrust (site at body origin): no pitch/roll moment.
+        thrusts = jnp.concatenate([thrust_cmd[None], jnp.zeros(3, s.dtype)])
+        fp = Params(
+            mass=p.mass,
+            inertia_diag=p.inertia_diag,
+            gravity=p.gravity,
+            dt=p.dt,
+            frame_skip=1,
+            arm_xy=0.0,
+            yaw_gear=0.0,
+            contact_stiffness=p.contact_stiffness,
+            contact_damping=p.contact_damping,
+            contact_friction=p.contact_friction,
+            contact_enabled=p.contact_enabled,
+        )
+        state = _physics_step(fp, state, thrusts, jnp.asarray(0.0, s.dtype), servo_torque, dt)
+
+    obs = state
+    done = ~jnp.all(jnp.isfinite(obs))
+    return StepOut(state, obs, jnp.asarray(0.0, s.dtype), done)
+
+
+def _deterministic_reset(init_z: float):
+    def reset_fn(params, key):
+        del params, key
+        return jnp.asarray([0.0, 0.0, init_z, 1.0, 0.0, 0.0, 0.0] + [0.0] * 6)
+
+    return reset_fn
+
+
+def make_force_ground() -> EnvDef:
+    p = Params(init_z=0.0)
+    return EnvDef(
+        name="MujocoQuadForce-v0",
+        state_dim=13,
+        action_dim=4,
+        obs_dim=13,
+        params=p,
+        step_fn=lambda params, s, a: _force_env_step(params, s, a, hovering=False),
+        reset_fn=_deterministic_reset(0.0),
+        action_low=0.0,
+        action_high=1.0,
+    )
+
+
+def make_hovering() -> EnvDef:
+    p = Params(init_z=1.0)
+    return EnvDef(
+        name="MujocoQuadForce-v1",
+        state_dim=13,
+        action_dim=4,
+        obs_dim=13,
+        params=p,
+        step_fn=lambda params, s, a: _force_env_step(params, s, a, hovering=True),
+        reset_fn=_deterministic_reset(1.0),
+        action_low=0.0,
+        action_high=1.0,
+    )
+
+
+def make_quat() -> EnvDef:
+    p = QuatParams()
+    return EnvDef(
+        name="MujocoQuadQuat-v0",
+        state_dim=13,
+        action_dim=4,
+        obs_dim=13,
+        params=p,
+        step_fn=_quat_env_step,
+        reset_fn=_deterministic_reset(0.0),
+        action_low=-1.0,
+        action_high=4.0,
+    )

@@ -1,0 +1,148 @@
+"""Train/play CLI — the TPU-native counterpart of the reference's
+baselines-style entry points (``gym_reinmav/run.py:40-218`` and
+``example/mujoco/train_hovering.py:34-193``).
+
+Usage (mirrors ``README.md:134`` / ``train_hovering.py:28-32``)::
+
+    python -m reinmav_tpu.rl.run --alg=ppo --env=quadrotor3d-v0 \
+        --num_timesteps=1e7 --num_env=1024 --save_path=./models/quad3d
+    python -m reinmav_tpu.rl.run --env=MujocoQuadForce-v1 --play \
+        --load_path=./models/quad3d
+
+Differences by design: envs are batched on-device (``--num_env`` shards
+over the mesh instead of spawning subprocesses); rank-gated logging is
+``jax.process_index() == 0`` instead of MPI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+from .. import make
+from ..parallel.mesh import make_mesh
+from ..utils import checkpoint as ckpt
+from . import networks, ppo
+
+
+def build_parser() -> argparse.ArgumentParser:
+    # Flag names follow the reference CLIs (run.py:151-163,
+    # train_hovering.py:34-54).
+    p = argparse.ArgumentParser(description="TPU-native PPO training for reinmav envs")
+    p.add_argument("--env", default="quadrotor3d-v0")
+    p.add_argument("--alg", default="ppo", choices=["ppo"])
+    p.add_argument("--num_timesteps", type=float, default=1e6)
+    p.add_argument("--num_env", type=int, default=1024)
+    p.add_argument("--rollout_len", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--gamma", type=float, default=0.99)
+    p.add_argument("--lam", type=float, default=0.95)
+    p.add_argument("--clip", type=float, default=0.2)
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--num_hidden", type=int, default=64)
+    p.add_argument("--ent_coef", type=float, default=0.0)
+    p.add_argument("--save_path", default=None)
+    p.add_argument("--load_path", default=None)
+    p.add_argument("--save_interval", type=int, default=50)
+    p.add_argument("--log_interval", type=int, default=10)
+    p.add_argument("--play", action="store_true")
+    p.add_argument("--play_steps", type=int, default=1000)
+    p.add_argument("--no_mesh", action="store_true", help="disable mesh sharding")
+    return p
+
+
+def train(args) -> ppo.TrainState:
+    env = make(args.env)
+    cfg = ppo.PpoConfig(
+        num_envs=args.num_env,
+        rollout_len=args.rollout_len,
+        learning_rate=args.lr,
+        gamma=args.gamma,
+        gae_lambda=args.lam,
+        clip_eps=args.clip,
+        entropy_coef=args.ent_coef,
+        hidden=tuple([args.num_hidden] * args.num_layers),
+    )
+    mesh = None if args.no_mesh else make_mesh()
+    step_fn = ppo.make_train_step(env, cfg, mesh)
+    state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(args.seed))
+    if args.load_path:
+        state = ckpt.restore(args.load_path, state)
+
+    steps_per_update = cfg.num_envs * cfg.rollout_len
+    num_updates = max(1, int(args.num_timesteps) // steps_per_update)
+    is_main = jax.process_index() == 0
+
+    t0 = time.perf_counter()
+    for update in range(num_updates):
+        state, metrics = step_fn(state)
+        if is_main and (update % args.log_interval == 0 or update == num_updates - 1):
+            metrics = {name: float(val) for name, val in metrics.items()}
+            elapsed = time.perf_counter() - t0
+            sps = steps_per_update * (update + 1) / elapsed
+            print(
+                json.dumps(
+                    {"update": update, "env_steps": steps_per_update * (update + 1),
+                     "steps_per_sec": round(sps), **{k: round(v, 5) for k, v in metrics.items()}}
+                )
+            )
+        if args.save_path and is_main and update % args.save_interval == 0:
+            ckpt.save(args.save_path, state)
+
+    if args.save_path and is_main:
+        ckpt.save(args.save_path, state)
+    return state
+
+
+def play(args, state: ppo.TrainState | None = None):
+    """Deterministic greedy rollout with the trained policy
+    (the ``--play`` loop of ``run.py:190-213``)."""
+    env = make(args.env)
+    cfg = ppo.PpoConfig(hidden=tuple([args.num_hidden] * args.num_layers))
+    if state is None:
+        state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(args.seed))
+        if args.load_path:
+            state = ckpt.restore(args.load_path, state)
+
+    @jax.jit
+    def greedy_step(params, obs_norm, s, key):
+        obs = s[: env.obs_dim]
+        norm = ppo._normalize(obs, obs_norm)
+        mean, _, _ = networks.apply(params, norm)
+        out = env.step(s, mean)
+        return out
+
+    s = env.reset(jax.random.PRNGKey(args.seed + 1))
+    key = jax.random.PRNGKey(args.seed + 2)
+    total_reward, episodes = 0.0, 0
+    states = []
+    for t in range(args.play_steps):
+        out = greedy_step(state.params, state.obs_norm, s, key)
+        total_reward += float(out.reward)
+        states.append(np.asarray(out.obs))
+        if bool(out.done):
+            episodes += 1
+            s = env.reset(jax.random.PRNGKey(args.seed + 3 + t))
+        else:
+            s = out.state
+    print(json.dumps({"play_steps": args.play_steps, "episodes": episodes,
+                      "total_reward": round(total_reward, 3)}))
+    return np.stack(states)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    state = None
+    if not args.play or args.load_path is None:
+        state = train(args)
+    if args.play:
+        play(args, state)
+
+
+if __name__ == "__main__":
+    main()
