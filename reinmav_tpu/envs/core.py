@@ -80,8 +80,16 @@ class EnvDef:
         return self.control_fn(self.params, state)
 
     # -- batched kernels ---------------------------------------------------
+    # Two batch layouts:
+    #   * (B, D) "row" layout — the public API convention.
+    #   * (D, B) "transposed" layout — the TPU hot-loop convention: a state
+    #     of D≈5-16 floats in the minor dimension gets lane-padded to 128
+    #     on TPU (≈13x wasted HBM bandwidth on every scan carry), whereas
+    #     (D, B) keeps the batch in dense lanes.  Rollouts transpose once
+    #     at entry/exit and step in (D, B) throughout.
+
     def vstep(self, states, actions) -> StepOut:
-        """Batched step over leading axis."""
+        """Batched step over leading axis, (B, D) layout."""
         return jax.vmap(self.step_fn, in_axes=(None, 0, 0))(self.params, states, actions)
 
     def vreset(self, keys) -> jnp.ndarray:
@@ -90,8 +98,21 @@ class EnvDef:
     def vcontrol(self, states) -> jnp.ndarray:
         return jax.vmap(self.control_fn, in_axes=(None, 0))(self.params, states)
 
+    def vstep_t(self, states_t, actions_t) -> StepOut:
+        """Batched step in transposed (D, B) layout (states/obs/actions
+        batch-minor; reward/done stay (B,))."""
+        return jax.vmap(
+            self.step_fn, in_axes=(None, 1, 1), out_axes=StepOut(1, 1, 0, 0)
+        )(self.params, states_t, actions_t)
+
+    def vreset_t(self, keys) -> jnp.ndarray:
+        return jax.vmap(self.reset_fn, in_axes=(None, 0), out_axes=1)(self.params, keys)
+
+    def vcontrol_t(self, states_t) -> jnp.ndarray:
+        return jax.vmap(self.control_fn, in_axes=(None, 1), out_axes=1)(self.params, states_t)
+
     def autoreset_step(self, states, actions, key) -> StepOut:
-        """Batched step with fused auto-reset.
+        """Batched step with fused auto-reset, (B, D) layout.
 
         Done sub-envs are re-initialised from fresh PRNG draws in the same
         kernel; their returned obs/reward/done describe the *terminal*
@@ -105,6 +126,14 @@ class EnvDef:
         next_states = jnp.where(out.done[:, None], reset_states.astype(out.state.dtype), out.state)
         return StepOut(next_states, out.obs, out.reward, out.done)
 
+    def autoreset_step_t(self, states_t, actions_t, key) -> StepOut:
+        """Transposed-layout autoreset step ((D, B) states)."""
+        out = self.vstep_t(states_t, actions_t)
+        batch = states_t.shape[1]
+        reset_states = self.vreset_t(jax.random.split(key, batch))
+        next_states = jnp.where(out.done[None, :], reset_states.astype(out.state.dtype), out.state)
+        return StepOut(next_states, out.obs, out.reward, out.done)
+
 
 def rollout(
     env: EnvDef,
@@ -116,26 +145,32 @@ def rollout(
 ):
     """Closed-loop batched rollout as a single ``lax.scan``.
 
-    ``policy_fn(obs_batch, key) -> action_batch`` may be a classical
-    controller (ignore the key) or a stochastic policy.  Returns the final
-    states and the stacked trajectory ``StepOut`` with leading time axis
-    ``(T, B, ...)``.
+    ``policy_fn(obs_batch, key) -> action_batch`` (row layout, (B, obs))
+    may be a classical controller (ignore the key) or a stochastic policy.
+    Returns the final states and the stacked trajectory ``StepOut`` with
+    leading time axis ``(T, B, ...)``.
+
+    The scan carry runs in transposed (D, B) layout for TPU lane density;
+    policy calls and stacked outputs are transposed back to row layout.
     """
 
     def body(carry, _):
-        states, k = carry
+        states_t, k = carry
         k, k_act, k_reset = jax.random.split(k, 3)
-        # Policy observes the pre-step state (observation == state slice).
-        obs = states[:, : env.obs_dim]
-        actions = policy_fn(obs, k_act)
+        obs = states_t[: env.obs_dim, :].T  # policy sees row layout
+        actions_t = policy_fn(obs, k_act).T
         if auto_reset:
-            out = env.autoreset_step(states, actions, k_reset)
+            out = env.autoreset_step_t(states_t, actions_t, k_reset)
         else:
-            out = env.vstep(states, actions)
+            out = env.vstep_t(states_t, actions_t)
         return (out.state, k), StepOut(out.state, out.obs, out.reward, out.done)
 
-    (final_states, _), traj = jax.lax.scan(body, (init_states, key), None, length=horizon)
-    return final_states, traj
+    init_t = init_states.T
+    (final_t, _), traj = jax.lax.scan(body, (init_t, key), None, length=horizon)
+    traj = StepOut(
+        jnp.swapaxes(traj.state, 1, 2), jnp.swapaxes(traj.obs, 1, 2), traj.reward, traj.done
+    )
+    return final_t.T, traj
 
 
 def controller_policy(env: EnvDef):
@@ -153,22 +188,37 @@ def controller_policy(env: EnvDef):
     return policy
 
 
-def control_rollout(env: EnvDef, init_states, key, horizon: int, auto_reset: bool = True):
+def control_rollout(env: EnvDef, init_states, key, horizon: int, auto_reset: bool = True,
+                    collect_trajectory: bool = True):
     """Rollout flown by the env's own classical controller — the canonical
-    reference test pattern (``test_quadrotor3d.py:12-24``), fully fused."""
+    reference test pattern (``test_quadrotor3d.py:12-24``), fully fused in
+    transposed (D, B) layout.  With ``collect_trajectory=False`` only
+    rewards/dones are stacked (pure stepping-throughput mode — no
+    trajectory HBM traffic)."""
 
     def body(carry, _):
-        states, k = carry
+        states_t, k = carry
         k, k_reset = jax.random.split(k)
-        actions = env.vcontrol(states)
+        actions_t = env.vcontrol_t(states_t)
         if auto_reset:
-            out = env.autoreset_step(states, actions, k_reset)
+            out = env.autoreset_step_t(states_t, actions_t, k_reset)
         else:
-            out = env.vstep(states, actions)
-        return (out.state, k), StepOut(out.state, out.obs, out.reward, out.done)
+            out = env.vstep_t(states_t, actions_t)
+        if collect_trajectory:
+            y = StepOut(out.state, out.obs, out.reward, out.done)
+        else:
+            y = (out.reward, out.done)
+        return (out.state, k), y
 
-    (final_states, _), traj = jax.lax.scan(body, (init_states, key), None, length=horizon)
-    return final_states, traj
+    (final_t, _), traj = jax.lax.scan(body, (init_states.T, key), None, length=horizon)
+    if collect_trajectory:
+        traj = StepOut(
+            jnp.swapaxes(traj.state, 1, 2), jnp.swapaxes(traj.obs, 1, 2),
+            traj.reward, traj.done,
+        )
+    else:
+        traj = StepOut(None, None, traj[0], traj[1])
+    return final_t.T, traj
 
 
 def uniform_reset(dim: int, low: float = -1.0, high: float = 1.0):
