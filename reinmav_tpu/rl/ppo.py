@@ -241,6 +241,41 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState):
     return new_state, summary
 
 
+def train_many(env: EnvDef, cfg: PpoConfig, state: TrainState, num_updates: int):
+    """Run ``num_updates`` PPO updates inside one compiled program
+    (``lax.scan`` over :func:`train_step`).
+
+    On a remote/tunnelled TPU runtime each dispatch costs milliseconds;
+    folding updates amortises that and lets XLA overlap host transfers.
+    Returns the final state and stacked per-update metric means.
+    """
+
+    def body(s, _):
+        s, metrics = train_step(env, cfg, s)
+        return s, metrics
+
+    return jax.lax.scan(body, state, None, length=num_updates)
+
+
+def make_train_many(env: EnvDef, cfg: PpoConfig, num_updates: int, mesh=None):
+    """Jitted multi-update train function (see :func:`make_train_step` for
+    the sharding contract)."""
+    fn = partial(train_many, env, cfg, num_updates=num_updates)
+    if mesh is None:
+        return jax.jit(fn)
+
+    from ..parallel.mesh import batch_sharding, replicated
+
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    state_shardings = TrainState(
+        params=rep, opt_state=rep, env_states=bs,
+        obs_norm=ObsNorm(rep, rep, rep), key=rep, update_step=rep,
+    )
+    return jax.jit(fn, in_shardings=(state_shardings,),
+                   out_shardings=(state_shardings, rep))
+
+
 def make_train_step(env: EnvDef, cfg: PpoConfig, mesh=None):
     """Jitted train step; when ``mesh`` is given, the env-state batch is
     sharded over it and params/optimizer are replicated — XLA then emits

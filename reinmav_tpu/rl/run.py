@@ -26,6 +26,7 @@ import numpy as np
 from .. import make
 from ..parallel.mesh import make_mesh
 from ..utils import checkpoint as ckpt
+from ..utils.metrics import MetricsLogger
 from . import networks, ppo
 
 
@@ -50,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load_path", default=None)
     p.add_argument("--save_interval", type=int, default=50)
     p.add_argument("--log_interval", type=int, default=10)
+    p.add_argument("--updates_per_jit", type=int, default=1,
+                   help="fold this many PPO updates into one compiled call "
+                        "(amortises dispatch on remote TPU runtimes)")
+    p.add_argument("--log_dir", default=None)
     p.add_argument("--play", action="store_true")
     p.add_argument("--play_steps", type=int, default=1000)
     p.add_argument("--no_mesh", action="store_true", help="disable mesh sharding")
@@ -69,32 +74,39 @@ def train(args) -> ppo.TrainState:
         hidden=tuple([args.num_hidden] * args.num_layers),
     )
     mesh = None if args.no_mesh else make_mesh()
-    step_fn = ppo.make_train_step(env, cfg, mesh)
+    k = max(1, args.updates_per_jit)
+    step_fn = (
+        ppo.make_train_step(env, cfg, mesh)
+        if k == 1
+        else ppo.make_train_many(env, cfg, k, mesh)
+    )
     state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(args.seed))
     if args.load_path:
         state = ckpt.restore(args.load_path, state)
 
     steps_per_update = cfg.num_envs * cfg.rollout_len
     num_updates = max(1, int(args.num_timesteps) // steps_per_update)
-    is_main = jax.process_index() == 0
+    logger = MetricsLogger(log_dir=args.log_dir)
 
     t0 = time.perf_counter()
-    for update in range(num_updates):
+    update = 0
+    while update < num_updates:
         state, metrics = step_fn(state)
-        if is_main and (update % args.log_interval == 0 or update == num_updates - 1):
-            metrics = {name: float(val) for name, val in metrics.items()}
+        update += k
+        if k > 1:  # stacked metrics from the fused updates: report means
+            metrics = {name: val.mean() for name, val in metrics.items()}
+        if (update // k) % args.log_interval == 0 or update >= num_updates:
             elapsed = time.perf_counter() - t0
-            sps = steps_per_update * (update + 1) / elapsed
-            print(
-                json.dumps(
-                    {"update": update, "env_steps": steps_per_update * (update + 1),
-                     "steps_per_sec": round(sps), **{k: round(v, 5) for k, v in metrics.items()}}
-                )
+            logger.log(
+                update,
+                {"env_steps": steps_per_update * update,
+                 "steps_per_sec": round(steps_per_update * update / elapsed),
+                 **metrics},
             )
-        if args.save_path and is_main and update % args.save_interval == 0:
+        if args.save_path and logger.is_main and (update // k) % args.save_interval == 0:
             ckpt.save(args.save_path, state)
 
-    if args.save_path and is_main:
+    if args.save_path and logger.is_main:
         ckpt.save(args.save_path, state)
     return state
 

@@ -1,0 +1,80 @@
+"""Bitwise determinism (a north-star requirement, BASELINE.md): fixed-seed
+rollouts and PPO updates must be exactly reproducible run-to-run, and
+independent of batch sharding."""
+
+import jax
+import numpy as np
+
+import reinmav_tpu
+from reinmav_tpu.envs.core import control_rollout
+from reinmav_tpu.parallel.mesh import batch_sharding, make_mesh
+
+
+def _rollout(env, seed, sharded=False):
+    key = jax.random.PRNGKey(seed)
+    states = env.vreset(jax.random.split(key, 64))
+    if sharded:
+        states = jax.device_put(states, batch_sharding(make_mesh()))
+    final, traj = jax.jit(lambda s, k: control_rollout(env, s, k, 100))(states, key)
+    return np.asarray(final), np.asarray(traj.reward)
+
+
+def test_rollout_bitwise_deterministic():
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    f1, r1 = _rollout(env, seed=7)
+    f2, r2 = _rollout(env, seed=7)
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_rollout_sharding_invariant():
+    """Same seed, sharded vs unsharded: bitwise identical (no
+    host-dependent reductions in the env path)."""
+    env = reinmav_tpu.make("quadrotor3d-slungload-v0")
+    f1, r1 = _rollout(env, seed=3, sharded=False)
+    f2, r2 = _rollout(env, seed=3, sharded=True)
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_ppo_update_deterministic():
+    from reinmav_tpu.rl import ppo
+
+    env = reinmav_tpu.make("quadrotor2d-v0")
+    cfg = ppo.PpoConfig(num_envs=32, rollout_len=8, num_epochs=1, num_minibatches=2, hidden=(16, 16))
+    step = ppo.make_train_step(env, cfg)
+
+    def run():
+        state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(11))
+        state, _ = step(state)
+        state, _ = step(state)
+        return jax.tree.leaves(jax.device_get(state.params))
+
+    p1, p2 = run(), run()
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_wrappers():
+    from reinmav_tpu.envs import wrappers
+
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    clipped = wrappers.clip_action(env, 0.0, 1.0)
+    s = env.reset(jax.random.PRNGKey(0))
+    big_action = np.array([50.0, 9.0, -9.0, 0.0], np.float32)
+    out_c = clipped.step(s, big_action)
+    out_manual = env.step(s, np.clip(big_action, 0.0, 1.0))
+    np.testing.assert_array_equal(np.asarray(out_c.state), np.asarray(out_manual.state))
+
+    limited = wrappers.time_limit(env, 5)
+    sl = limited.reset(jax.random.PRNGKey(0))
+    assert sl.shape == (11,)
+    for i in range(5):
+        out = limited.step(sl, np.zeros(4, np.float32))
+        sl = out.state
+    assert bool(out.done)
+
+    scaled = wrappers.scale_reward(env, 0.5)
+    out_s = scaled.step(s, np.zeros(4, np.float32))
+    out_p = env.step(s, np.zeros(4, np.float32))
+    np.testing.assert_allclose(float(out_s.reward), 0.5 * float(out_p.reward), rtol=1e-7)
