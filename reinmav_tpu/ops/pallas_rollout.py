@@ -1,0 +1,246 @@
+"""Pallas TPU kernel: fused multi-step quadrotor3d closed-loop rollout.
+
+The XLA `lax.scan` rollout already fuses one step into a single loop body,
+but every iteration round-trips the carry through HBM and re-enters the
+loop machinery.  This kernel keeps a (10, BT) tile of env states resident
+in VMEM for all T steps: grid over batch tiles, `fori_loop` over time, one
+HBM write at the end (final states + per-env reward accumulator).
+
+Semantics: the float32 production path of `envs/quadrotor3d.py` step +
+controller (no auto-reset — parity mode; see that module for the
+reference citations).  Differential-tested against the scan rollout.
+
+This is an optimisation *experiment* surface: the scan path remains the
+default; `available()` gates use.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS = True
+except ImportError:  # pragma: no cover
+    _PALLAS = False
+
+# Physics / controller constants (envs/quadrotor3d.py Params defaults).
+_DT = 0.01
+_GZ = -9.8
+_REF_Z = 2.0
+_KP = -5.0
+_KV = -4.0
+_TAU = 0.3
+_POS_LIM = 3.0
+_VEL_LIM = 10.0
+
+
+def _closed_loop_step(s):
+    """One controller+dynamics step on a (10, BT) state tile.
+
+    Row layout: 0-2 pos, 3-6 quat wxyz, 7-9 vel.  All ops are (1, BT)
+    row-vector elementwise — pure VPU work.
+    """
+    px, py, pz = s[0:1], s[1:2], s[2:3]
+    qw, qx, qy, qz = s[3:4], s[4:5], s[5:6], s[6:7]
+    vx, vy, vz = s[7:8], s[8:9], s[9:10]
+
+    # ---- controller (geometric; envs/quadrotor3d.py:control) ------------
+    ax = _KP * px + _KV * vx
+    ay = _KP * py + _KV * vy
+    az = _KP * (pz - _REF_Z) + _KV * vz - _GZ
+
+    an = jax.lax.rsqrt(ax * ax + ay * ay + az * az)
+    zbx, zby, zbz = ax * an, ay * an, az * an
+    # xb = yc × zb with yc = (0,1,0):  (zbz, 0, -zbx)
+    xn = jax.lax.rsqrt(zbz * zbz + zbx * zbx)
+    xbx, xbz = zbz * xn, -zbx * xn
+    # yb = zb × xb
+    ybx = zby * xbz
+    yby = zbz * xbx - zbx * xbz
+    ybz = -zby * xbx
+
+    # pyquaternion _from_matrix on M = [xb yb zb] (transposed internally):
+    # m rows are xb, yb, zb (xby = 0).
+    m00, m01, m02 = xbx, jnp.zeros_like(xbx), xbz
+    m10, m11, m12 = ybx, yby, ybz
+    m20, m21, m22 = zbx, zby, zbz
+
+    tA = 1.0 + m00 - m11 - m22
+    qA = (m12 - m21, tA, m01 + m10, m20 + m02)
+    tB = 1.0 - m00 + m11 - m22
+    qB = (m20 - m02, m01 + m10, tB, m12 + m21)
+    tC = 1.0 - m00 - m11 + m22
+    qC = (m01 - m10, m20 + m02, m12 + m21, tC)
+    tD = 1.0 + m00 + m11 + m22
+    qD = (tD, m12 - m21, m20 - m02, m01 - m10)
+
+    neg = m22 < 0.0
+    first = m00 > m11
+    second = m00 < -m11
+    t_sel = jnp.where(neg, jnp.where(first, tA, tB), jnp.where(second, tC, tD))
+    dq = [
+        jnp.where(neg, jnp.where(first, qA[i], qB[i]), jnp.where(second, qC[i], qD[i]))
+        for i in range(4)
+    ]
+    scale = 0.5 * jax.lax.rsqrt(t_sel)
+    dw, dx, dy, dz = (c * scale for c in dq)
+
+    # qe = conj(q_raw) ⊗ q_des
+    ew = qw * dw + qx * dx + qy * dy + qz * dz
+    ex = qw * dx - qx * dw - qy * dz + qz * dy
+    ey = qw * dy + qx * dz - qy * dw - qz * dx
+    ez = qw * dz - qx * dy + qy * dx - qz * dw
+
+    k = (2.0 / _TAU) * jnp.sign(ew)
+    wx_cmd, wy_cmd, wz_cmd = k * ex, k * ey, k * ez
+
+    # body z of normalised quat (shared by controller thrust + dynamics)
+    qn2 = qw * qw + qx * qx + qy * qy + qz * qz
+    inv_qn2 = 1.0 / qn2
+    bzx = 2.0 * (qx * qz + qw * qy) * inv_qn2
+    bzy = 2.0 * (qy * qz - qw * qx) * inv_qn2
+    bzz = 1.0 - 2.0 * (qx * qx + qy * qy) * inv_qn2
+
+    thrust = ax * bzx + ay * bzy + az * bzz
+
+    # ---- dynamics (envs/quadrotor3d.py:step, mass=1) ---------------------
+    accx = thrust * bzx
+    accy = thrust * bzy
+    accz = thrust * bzz + _GZ
+
+    npx = px + vx * _DT + 0.5 * accx * _DT * _DT
+    npy = py + vy * _DT + 0.5 * accy * _DT * _DT
+    npz = pz + vz * _DT + 0.5 * accz * _DT * _DT
+    nvx, nvy, nvz = vx + accx * _DT, vy + accy * _DT, vz + accz * _DT
+
+    # q̇ = ½ q̂ ⊗ (0, ω);  q̂ = q/|q|
+    inv_qn = jax.lax.rsqrt(qn2)
+    hw, hx, hy, hz = qw * inv_qn, qx * inv_qn, qy * inv_qn, qz * inv_qn
+    half_dt = 0.5 * _DT
+    nqw = qw + half_dt * (-hx * wx_cmd - hy * wy_cmd - hz * wz_cmd)
+    nqx = qx + half_dt * (hw * wx_cmd + hy * wz_cmd - hz * wy_cmd)
+    nqy = qy + half_dt * (hw * wy_cmd - hx * wz_cmd + hz * wx_cmd)
+    nqz = qz + half_dt * (hw * wz_cmd + hx * wy_cmd - hy * wx_cmd)
+
+    pn2 = npx * npx + npy * npy + npz * npz
+    vn2 = nvx * nvx + nvy * nvy + nvz * nvz
+    done = (pn2 > _POS_LIM * _POS_LIM) | (vn2 > _VEL_LIM * _VEL_LIM)
+    reward = jnp.where(done, 1.0, -jnp.sqrt(pn2))
+
+    new_s = jnp.concatenate(
+        [npx, npy, npz, nqw, nqx, nqy, nqz, nvx, nvy, nvz], axis=0
+    )
+    return new_s, reward
+
+
+def _rollout_kernel(horizon, s_ref, out_ref, rew_ref):
+    def body(_, carry):
+        s, rew_acc = carry
+        s, reward = _closed_loop_step(s)
+        return s, rew_acc + reward
+
+    s0 = s_ref[:, :]
+    rew0 = jnp.zeros_like(s0[0:1])
+    s_final, rew = jax.lax.fori_loop(0, horizon, body, (s0, rew0))
+    out_ref[:, :] = s_final
+    rew_ref[:, :] = rew
+
+
+def _uniform_pm1(shape):
+    """U(-1, 1) from the on-core PRNG: mantissa-fill to [1, 2) then affine."""
+    bits = pltpu.prng_random_bits(shape)
+    bits = pltpu.bitcast(bits, jnp.uint32)
+    f12 = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    return 2.0 * (f12 - 1.0) - 1.0
+
+
+def _rollout_autoreset_kernel(horizon, seed_ref, s_ref, out_ref, rew_ref):
+    """Closed-loop rollout with fused auto-reset: done envs are redrawn
+    from U(-1,1)^10 (the reference reset law) using the per-core PRNG."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    def body(_, carry):
+        s, rew_acc = carry
+        new_s, reward = _closed_loop_step(s)
+        pn2 = new_s[0:1] ** 2 + new_s[1:2] ** 2 + new_s[2:3] ** 2
+        vn2 = new_s[7:8] ** 2 + new_s[8:9] ** 2 + new_s[9:10] ** 2
+        done = (pn2 > _POS_LIM * _POS_LIM) | (vn2 > _VEL_LIM * _VEL_LIM)
+        draw = _uniform_pm1(new_s.shape)
+        new_s = jnp.where(done, draw, new_s)
+        return new_s, rew_acc + reward
+
+    s0 = s_ref[:, :]
+    rew0 = jnp.zeros_like(s0[0:1])
+    s_final, rew = jax.lax.fori_loop(0, horizon, body, (s0, rew0))
+    out_ref[:, :] = s_final
+    rew_ref[:, :] = rew
+
+
+def available() -> bool:
+    return _PALLAS
+
+
+@functools.partial(jax.jit, static_argnames=("horizon", "tile"))
+def quad3d_rollout_pallas(states_t: jnp.ndarray, horizon: int, tile: int = 1024):
+    """Fused closed-loop rollout of quadrotor3d (no auto-reset).
+
+    ``states_t``: (10, B) float32, B a multiple of ``tile``.
+    Returns (final_states_t (10, B), reward_sum (B,)).
+    """
+    d, batch = states_t.shape
+    assert d == 10 and batch % tile == 0, (d, batch, tile)
+    grid = (batch // tile,)
+    out, rew = pl.pallas_call(
+        functools.partial(_rollout_kernel, horizon),
+        grid=grid,
+        in_specs=[pl.BlockSpec((10, tile), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((10, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((10, batch), states_t.dtype),
+            jax.ShapeDtypeStruct((1, batch), states_t.dtype),
+        ],
+    )(states_t)
+    return out, rew[0]
+
+
+@functools.partial(jax.jit, static_argnames=("horizon", "tile"))
+def quad3d_rollout_autoreset_pallas(
+    states_t: jnp.ndarray, seed, horizon: int, tile: int = 1024
+):
+    """Fused closed-loop rollout with auto-reset (production workload).
+
+    ``states_t``: (10, B) float32; ``seed``: int32 scalar for the on-core
+    PRNG (reset redraws; a different stream than ``jax.random`` — rollouts
+    are deterministic per (seed, batch, horizon)).
+    Returns (final_states_t (10, B), reward_sum (B,)).
+    """
+    d, batch = states_t.shape
+    assert d == 10 and batch % tile == 0, (d, batch, tile)
+    grid = (batch // tile,)
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    out, rew = pl.pallas_call(
+        functools.partial(_rollout_autoreset_kernel, horizon),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((10, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((10, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((10, batch), states_t.dtype),
+            jax.ShapeDtypeStruct((1, batch), states_t.dtype),
+        ],
+    )(seed_arr, states_t)
+    return out, rew[0]

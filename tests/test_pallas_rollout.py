@@ -1,0 +1,58 @@
+"""Pallas fused-rollout kernel vs the XLA scan path (interpret mode on the
+CPU test backend; the real TPU path is exercised by bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import reinmav_tpu
+from reinmav_tpu.envs.core import control_rollout
+from reinmav_tpu.ops import pallas_rollout
+
+pytestmark = pytest.mark.skipif(
+    not pallas_rollout.available(), reason="pallas unavailable"
+)
+
+
+def test_pallas_rollout_matches_scan():
+    from jax.experimental.pallas import tpu as pltpu
+
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    key = jax.random.PRNGKey(0)
+    B, T = 256, 50
+    # float32: the kernel is the production-precision path.
+    states = (env.vreset(jax.random.split(key, B)) * 0.5).astype(jnp.float32)
+
+    f_scan, traj = jax.jit(
+        lambda s, k: control_rollout(env, s, k, T, auto_reset=False)
+    )(states, key)
+
+    with pltpu.force_tpu_interpret_mode():
+        f_pal, rew = pallas_rollout.quad3d_rollout_pallas(states.T, T, tile=128)
+
+    np.testing.assert_allclose(
+        np.asarray(f_pal.T), np.asarray(f_scan), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(rew.sum()), float(traj.reward.sum()), rtol=1e-4
+    )
+
+
+def test_pallas_autoreset_stays_in_envelope():
+    from jax.experimental.pallas import tpu as pltpu
+
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    key = jax.random.PRNGKey(1)
+    B, T = 256, 200
+    states = env.vreset(jax.random.split(key, B)).astype(jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        f, rew = pallas_rollout.quad3d_rollout_autoreset_pallas(states.T, 3, T, tile=128)
+
+    f = np.asarray(f)
+    assert np.isfinite(f).all()
+    # Auto-reset keeps every env inside the done envelope (+one-step slack).
+    pos_norm = np.linalg.norm(f[0:3], axis=0)
+    assert pos_norm.max() < 3.5
+    assert np.isfinite(float(rew.sum()))
