@@ -1,0 +1,69 @@
+"""Multi-host initialisation and process-role helpers.
+
+The reference's multi-process story is `mpirun` + mpi4py rank gating
+(SURVEY.md §5: OpenMPI used only to silence logs on rank>0; gradient
+averaging inside baselines).  TPU-native equivalent: one JAX process per
+host, `jax.distributed.initialize()` to form the global runtime, a mesh
+spanning every chip in the slice, and XLA collectives over ICI/DCN — no
+application-level communication code at all.
+
+Usage on a pod slice (same script on every host)::
+
+    from reinmav_tpu.parallel import distributed, make_mesh
+    distributed.init()                  # no-op on single host
+    mesh = make_mesh()                  # spans ALL hosts' devices
+    ...                                 # identical code to single-host
+
+Data placement: build per-host batches with
+:func:`host_local_batch_size` and form global arrays with
+``jax.make_array_from_process_local_data`` — helpers below wrap the
+common cases.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .mesh import BATCH_AXIS, batch_sharding
+
+
+def init(coordinator_address: Optional[str] = None,
+         num_processes: Optional[int] = None,
+         process_id: Optional[int] = None) -> None:
+    """Initialise the multi-host runtime.  Safe no-op when single-process
+    (TPU pods auto-detect all arguments from the environment)."""
+    if num_processes == 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # Already initialised, or single-process without TPU metadata.
+        pass
+
+
+def is_main() -> bool:
+    """Host-0 gating (the MPI rank-0 check of ``run.py:177-182``)."""
+    return jax.process_index() == 0
+
+
+def host_local_batch_size(global_batch: int) -> int:
+    n = jax.process_count()
+    if global_batch % n != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by {n} processes")
+    return global_batch // n
+
+
+def global_batch_array(mesh, host_local: np.ndarray):
+    """Assemble per-host (B_local, ...) data into one global batch-sharded
+    array on the mesh (identity on single host)."""
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(host_local, sharding)
+    return jax.make_array_from_process_local_data(sharding, host_local)

@@ -1,3 +1,3 @@
-from .plot import plot_trajectory, render_frame
+from .plot import plot_trajectory, render_frame, save_gif
 
-__all__ = ["plot_trajectory", "render_frame"]
+__all__ = ["plot_trajectory", "render_frame", "save_gif"]

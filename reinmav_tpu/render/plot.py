@@ -71,6 +71,23 @@ def plot_trajectory(env_name: str, states: np.ndarray, path_prefix: str = "traje
     return paths
 
 
+def save_gif(env_name: str, states: np.ndarray, path: str, every: int = 4,
+             fps: int = 25) -> str:
+    """Render a (T, D) state history to an animated GIF (the role of the
+    reference's demo GIFs in ``gym_reinmav/resources/``)."""
+    from PIL import Image
+
+    frames = [
+        Image.fromarray(render_frame(env_name, states[i]))
+        for i in range(0, states.shape[0], every)
+    ]
+    frames[0].save(
+        path, save_all=True, append_images=frames[1:],
+        duration=int(1000 / fps), loop=0,
+    )
+    return path
+
+
 def render_frame(env_name: str, state: np.ndarray, extent: float = 3.0) -> np.ndarray:
     """One rgb_array frame of the current state."""
     plt, fig = _agg_figure((4.8, 4.8))
