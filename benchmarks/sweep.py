@@ -1,0 +1,93 @@
+"""Per-env throughput sweep on the current accelerator.
+
+Measures batched closed-loop (or fixed-action) stepping rates for every
+registered env and writes JSON to stdout / benchmarks/results.json.
+
+Run:  python benchmarks/sweep.py [--batch 131072] [--horizon 500]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import reinmav_tpu
+from reinmav_tpu.envs.core import control_rollout
+
+
+def bench_env(env_id: str, batch: int, horizon: int) -> dict:
+    env = reinmav_tpu.make(env_id)
+    key = jax.random.PRNGKey(0)
+    states = env.vreset(jax.random.split(key, batch))
+
+    if env.control_fn is not None:
+
+        @jax.jit
+        def run(states, key):
+            final, traj = control_rollout(
+                env, states, key, horizon, auto_reset=True, collect_trajectory=False
+            )
+            return traj.reward.sum()
+
+        args = (states, key)
+    else:
+        # Fixed-action stepping (reinmav ignores actions; tpuquad hover-ish).
+        actions_t = jnp.full((max(env.action_dim, 1), batch), 0.4, states.dtype)[: env.action_dim]
+
+        @jax.jit
+        def run(states, key):
+            def body(carry, _):
+                s_t, k = carry
+                k, k_reset = jax.random.split(k)
+                out = env.autoreset_step_t(s_t, actions_t, k_reset)
+                return (out.state, k), out.reward
+
+            (_, _), rewards = jax.lax.scan(body, (states.T, key), None, length=horizon)
+            return rewards.sum()
+
+        args = (states, key)
+
+    float(run(*args))  # compile + sync
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = float(run(*args))
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(r), env_id
+    sps = batch * horizon / min(times)
+    return {"env": env_id, "batch": batch, "horizon": horizon,
+            "env_steps_per_sec": round(sps)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=131072)
+    ap.add_argument("--horizon", type=int, default=500)
+    ap.add_argument("--reinmav_batch", type=int, default=8192,
+                    help="smaller batch for the 50-substep reinmav env")
+    args = ap.parse_args()
+
+    results = {"device": str(jax.devices()[0]), "sweeps": []}
+    for env_id in reinmav_tpu.registered_ids():
+        batch = args.reinmav_batch if env_id == "reinmav-v0" else args.batch
+        row = bench_env(env_id, batch, args.horizon)
+        if env_id == "reinmav-v0":
+            row["note"] = "each step runs ~50 controller+EOM substeps"
+        results["sweeps"].append(row)
+        print(json.dumps(row), flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"# wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

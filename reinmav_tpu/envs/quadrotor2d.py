@@ -85,13 +85,13 @@ def control(p: Params, s: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([thrust, w])
 
 
-def make() -> EnvDef:
+def make(params: Params | None = None) -> EnvDef:
     return EnvDef(
         name="quadrotor2d-v0",
         state_dim=5,
         action_dim=2,
         obs_dim=5,
-        params=Params(),
+        params=params or Params(),
         step_fn=step,
         reset_fn=uniform_reset(5),
         control_fn=control,

@@ -93,13 +93,13 @@ def control(p: Params, s: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([thrust[None], w])
 
 
-def make() -> EnvDef:
+def make(params: Params | None = None) -> EnvDef:
     return EnvDef(
         name="quadrotor3d-v0",
         state_dim=10,
         action_dim=4,
         obs_dim=10,
-        params=Params(),
+        params=params or Params(),
         step_fn=step,
         reset_fn=uniform_reset(10),
         control_fn=control,

@@ -190,13 +190,13 @@ def reset(p: Params, key) -> jnp.ndarray:
     return jnp.asarray(INIT_STATE + (0.0,))
 
 
-def make() -> EnvDef:
+def make(params: Params | None = None) -> EnvDef:
     return EnvDef(
         name="reinmav-v0",
         state_dim=STATE_DIM,
         action_dim=0,
         obs_dim=13,
-        params=Params(),
+        params=params or Params(),
         step_fn=step,
         reset_fn=reset,
         control_fn=None,

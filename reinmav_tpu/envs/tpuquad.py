@@ -242,8 +242,8 @@ def _deterministic_reset(init_z: float):
     return reset_fn
 
 
-def make_force_ground() -> EnvDef:
-    p = Params(init_z=0.0)
+def make_force_ground(params: Params | None = None) -> EnvDef:
+    p = params or Params(init_z=0.0)
     return EnvDef(
         name="MujocoQuadForce-v0",
         state_dim=13,
@@ -257,8 +257,8 @@ def make_force_ground() -> EnvDef:
     )
 
 
-def make_hovering() -> EnvDef:
-    p = Params(init_z=1.0)
+def make_hovering(params: Params | None = None) -> EnvDef:
+    p = params or Params(init_z=1.0)
     return EnvDef(
         name="MujocoQuadForce-v1",
         state_dim=13,
@@ -272,8 +272,8 @@ def make_hovering() -> EnvDef:
     )
 
 
-def make_quat() -> EnvDef:
-    p = QuatParams()
+def make_quat(params: QuatParams | None = None) -> EnvDef:
+    p = params or QuatParams()
     return EnvDef(
         name="MujocoQuadQuat-v0",
         state_dim=13,
