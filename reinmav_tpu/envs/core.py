@@ -221,6 +221,39 @@ def control_rollout(env: EnvDef, init_states, key, horizon: int, auto_reset: boo
     return final_t.T, traj
 
 
+def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str = "auto"):
+    """Maximum-rate closed-loop rollout: returns only (final_states,
+    per-env reward sums) — no trajectory materialisation.
+
+    ``backend``: "pallas" (fused VMEM-resident kernel, quadrotor3d with
+    default params on TPU only), "scan" (any env), or "auto" (pallas when
+    eligible, else scan).  Pallas auto-reset uses the on-core PRNG — a
+    different stream than ``jax.random`` but deterministic per seed.
+    """
+    if backend == "auto":
+        backend = "scan"
+        if env.name == "quadrotor3d-v0" and jax.devices()[0].platform == "tpu":
+            from . import quadrotor3d
+            from ..ops import pallas_rollout
+
+            if (
+                env.params == quadrotor3d.Params()
+                and pallas_rollout.available()
+                and init_states.shape[0] % 1024 == 0
+            ):
+                backend = "pallas"
+    if backend == "pallas":
+        from ..ops import pallas_rollout
+
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        final_t, reward_sum = pallas_rollout.quad3d_rollout_autoreset_pallas(
+            init_states.T.astype(jnp.float32), seed, horizon
+        )
+        return final_t.T, reward_sum
+    final, traj = control_rollout(env, init_states, key, horizon, collect_trajectory=False)
+    return final, traj.reward.sum(axis=0)
+
+
 def uniform_reset(dim: int, low: float = -1.0, high: float = 1.0):
     """Reference-style reset: every state component ~ U(low, high)
     (``quadrotor3d.py:182-185`` — including unnormalised quaternions)."""

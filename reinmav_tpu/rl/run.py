@@ -57,6 +57,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_dir", default=None)
     p.add_argument("--play", action="store_true")
     p.add_argument("--play_steps", type=int, default=1000)
+    p.add_argument("--gif", default=None, help="write the play rollout as a GIF")
     p.add_argument("--no_mesh", action="store_true", help="disable mesh sharding")
     return p
 
@@ -142,9 +143,15 @@ def play(args, state: ppo.TrainState | None = None):
             s = env.reset(jax.random.PRNGKey(args.seed + 3 + t))
         else:
             s = out.state
+    states = np.stack(states)
+    if args.gif:
+        from ..render import save_gif
+
+        save_gif(env.name, states, args.gif)
     print(json.dumps({"play_steps": args.play_steps, "episodes": episodes,
-                      "total_reward": round(total_reward, 3)}))
-    return np.stack(states)
+                      "total_reward": round(total_reward, 3),
+                      **({"gif": args.gif} if args.gif else {})}))
+    return states
 
 
 def main(argv=None):

@@ -1,3 +1,8 @@
-from . import checkpoint, profiling
+from . import checkpoint, ckpt_manager, metrics, profiling
+from .ckpt_manager import CheckpointManager
+from .metrics import MetricsLogger
 
-__all__ = ["checkpoint", "profiling"]
+__all__ = [
+    "checkpoint", "ckpt_manager", "metrics", "profiling",
+    "CheckpointManager", "MetricsLogger",
+]
