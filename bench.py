@@ -63,12 +63,12 @@ def bench_pallas(env, batch: int, horizon: int, key) -> float:
 
     states_t = env.vreset(jax.random.split(key, batch)).T
 
-    float(pallas_rollout.quad3d_rollout_autoreset_pallas(states_t, 7, horizon)[1].sum())
+    float(pallas_rollout.quad3d_rollout_autoreset_pallas8(states_t, 7, horizon)[1].sum())
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         r = float(
-            pallas_rollout.quad3d_rollout_autoreset_pallas(states_t, i, horizon)[1].sum()
+            pallas_rollout.quad3d_rollout_autoreset_pallas8(states_t, i, horizon)[1].sum()
         )
         times.append(time.perf_counter() - t0)
         assert np.isfinite(r)
@@ -88,7 +88,7 @@ def main():
         from reinmav_tpu.ops import pallas_rollout
 
         if pallas_rollout.available() and jax.devices()[0].platform != "cpu":
-            for batch in (262144, 524288):
+            for batch in (524288, 2097152):
                 sps = bench_pallas(env, batch, horizon=1000, key=key)
                 if sps > best:
                     best, best_cfg = sps, f"pallas-b{batch}"

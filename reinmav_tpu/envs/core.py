@@ -239,15 +239,16 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
             if (
                 env.params == quadrotor3d.Params()
                 and pallas_rollout.available()
-                and init_states.shape[0] % 1024 == 0
+                and init_states.shape[0] % 4096 == 0
             ):
                 backend = "pallas"
     if backend == "pallas":
         from ..ops import pallas_rollout
 
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
-        final_t, reward_sum = pallas_rollout.quad3d_rollout_autoreset_pallas(
-            init_states.T.astype(jnp.float32), seed, horizon
+        final_t, reward_sum = pallas_rollout.quad3d_rollout_autoreset_pallas8(
+            init_states.T.astype(jnp.float32), seed, horizon,
+            tile8=min(512, init_states.shape[0] // 8),
         )
         return final_t.T, reward_sum
     final, traj = control_rollout(env, init_states, key, horizon, collect_trajectory=False)

@@ -182,6 +182,120 @@ def _rollout_autoreset_kernel(horizon, seed_ref, s_ref, out_ref, rew_ref):
     rew_ref[:, :] = rew
 
 
+def _rollout_autoreset_kernel8(horizon, seed_ref, s_ref, out_ref, rew_ref):
+    """Sublane-dense variant: the caller reshapes (10, B) state to
+    (80, B/8) so each component occupies a full (8, B/8) tile — the
+    (1, tile) rows of the base kernel use only 1 of the VPU's 8 sublanes.
+    Elementwise semantics are per-column-position, so the reinterpretation
+    is transparent."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    def rows(s, i):
+        return s[8 * i : 8 * (i + 1)]
+
+    def body(_, carry):
+        s, rew_acc = carry
+        # Reuse the same math by viewing the (80, bt) block as a (10, 8*bt)
+        # component-major layout: build a list of (8, bt) component tiles.
+        new_s, reward = _closed_loop_step_tiles([rows(s, i) for i in range(10)])
+        pn2 = new_s[0] ** 2 + new_s[1] ** 2 + new_s[2] ** 2
+        vn2 = new_s[7] ** 2 + new_s[8] ** 2 + new_s[9] ** 2
+        done = (pn2 > _POS_LIM * _POS_LIM) | (vn2 > _VEL_LIM * _VEL_LIM)
+        draw = _uniform_pm1((80,) + new_s[0].shape[1:])
+        stacked = jnp.concatenate(new_s, axis=0)
+        stacked = jnp.where(jnp.tile(done, (10, 1)), draw, stacked)
+        return stacked, rew_acc + reward
+
+    s0 = s_ref[:, :]
+    rew0 = jnp.zeros((8,) + s0.shape[1:], s0.dtype)
+    s_final, rew = jax.lax.fori_loop(0, horizon, body, (s0, rew0))
+    out_ref[:, :] = s_final
+    rew_ref[:, :] = rew
+
+
+def _closed_loop_step_tiles(comp):
+    """The closed-loop step on a list of 10 (8, bt) component tiles.
+    Identical math to :func:`_closed_loop_step` (which operates on (1, bt)
+    rows); returns (list of 10 tiles, reward tile)."""
+    px, py, pz, qw, qx, qy, qz, vx, vy, vz = comp
+
+    ax = _KP * px + _KV * vx
+    ay = _KP * py + _KV * vy
+    az = _KP * (pz - _REF_Z) + _KV * vz - _GZ
+
+    an = jax.lax.rsqrt(ax * ax + ay * ay + az * az)
+    zbx, zby, zbz = ax * an, ay * an, az * an
+    xn = jax.lax.rsqrt(zbz * zbz + zbx * zbx)
+    xbx, xbz = zbz * xn, -zbx * xn
+    ybx = zby * xbz
+    yby = zbz * xbx - zbx * xbz
+    ybz = -zby * xbx
+
+    m00, m01, m02 = xbx, jnp.zeros_like(xbx), xbz
+    m10, m11, m12 = ybx, yby, ybz
+    m20, m21, m22 = zbx, zby, zbz
+
+    tA = 1.0 + m00 - m11 - m22
+    qA = (m12 - m21, tA, m01 + m10, m20 + m02)
+    tB = 1.0 - m00 + m11 - m22
+    qB = (m20 - m02, m01 + m10, tB, m12 + m21)
+    tC = 1.0 - m00 - m11 + m22
+    qC = (m01 - m10, m20 + m02, m12 + m21, tC)
+    tD = 1.0 + m00 + m11 + m22
+    qD = (tD, m12 - m21, m20 - m02, m01 - m10)
+
+    neg = m22 < 0.0
+    first = m00 > m11
+    second = m00 < -m11
+    t_sel = jnp.where(neg, jnp.where(first, tA, tB), jnp.where(second, tC, tD))
+    dq = [
+        jnp.where(neg, jnp.where(first, qA[i], qB[i]), jnp.where(second, qC[i], qD[i]))
+        for i in range(4)
+    ]
+    scale = 0.5 * jax.lax.rsqrt(t_sel)
+    dw, dx, dy, dz = (c * scale for c in dq)
+
+    ew = qw * dw + qx * dx + qy * dy + qz * dz
+    ex = qw * dx - qx * dw - qy * dz + qz * dy
+    ey = qw * dy + qx * dz - qy * dw - qz * dx
+    ez = qw * dz - qx * dy + qy * dx - qz * dw
+
+    k = (2.0 / _TAU) * jnp.sign(ew)
+    wx_cmd, wy_cmd, wz_cmd = k * ex, k * ey, k * ez
+
+    qn2 = qw * qw + qx * qx + qy * qy + qz * qz
+    inv_qn = jax.lax.rsqrt(qn2)
+    inv_qn2 = inv_qn * inv_qn
+    bzx = 2.0 * (qx * qz + qw * qy) * inv_qn2
+    bzy = 2.0 * (qy * qz - qw * qx) * inv_qn2
+    bzz = 1.0 - 2.0 * (qx * qx + qy * qy) * inv_qn2
+
+    thrust = ax * bzx + ay * bzy + az * bzz
+
+    accx = thrust * bzx
+    accy = thrust * bzy
+    accz = thrust * bzz + _GZ
+
+    npx = px + vx * _DT + 0.5 * accx * _DT * _DT
+    npy = py + vy * _DT + 0.5 * accy * _DT * _DT
+    npz = pz + vz * _DT + 0.5 * accz * _DT * _DT
+    nvx, nvy, nvz = vx + accx * _DT, vy + accy * _DT, vz + accz * _DT
+
+    hw, hx, hy, hz = qw * inv_qn, qx * inv_qn, qy * inv_qn, qz * inv_qn
+    half_dt = 0.5 * _DT
+    nqw = qw + half_dt * (-hx * wx_cmd - hy * wy_cmd - hz * wz_cmd)
+    nqx = qx + half_dt * (hw * wx_cmd + hy * wz_cmd - hz * wy_cmd)
+    nqy = qy + half_dt * (hw * wy_cmd - hx * wz_cmd + hz * wx_cmd)
+    nqz = qz + half_dt * (hw * wz_cmd + hx * wy_cmd - hy * wx_cmd)
+
+    pn2 = npx * npx + npy * npy + npz * npz
+    vn2 = nvx * nvx + nvy * nvy + nvz * nvz
+    done = (pn2 > _POS_LIM * _POS_LIM) | (vn2 > _VEL_LIM * _VEL_LIM)
+    reward = jnp.where(done, 1.0, -jnp.sqrt(pn2))
+
+    return [npx, npy, npz, nqw, nqx, nqy, nqz, nvx, nvy, nvz], reward
+
+
 def available() -> bool:
     return _PALLAS
 
@@ -244,3 +358,38 @@ def quad3d_rollout_autoreset_pallas(
         ],
     )(seed_arr, states_t)
     return out, rew[0]
+
+
+@functools.partial(jax.jit, static_argnames=("horizon", "tile8"))
+def quad3d_rollout_autoreset_pallas8(
+    states_t: jnp.ndarray, seed, horizon: int, tile8: int = 512
+):
+    """Sublane-dense fused rollout with auto-reset.
+
+    Each of the 10 state components is viewed as an (8, B/8) tile, filling
+    all VPU sublanes (the base kernel's (1, tile) rows use 1 of 8).
+    ``states_t``: (10, B) float32 with B a multiple of ``8 * tile8``.
+    """
+    d, batch = states_t.shape
+    assert d == 10 and batch % (8 * tile8) == 0, (d, batch, tile8)
+    b8 = batch // 8
+    s80 = states_t.reshape(80, b8)  # component i -> rows 8i..8i+7
+    grid = (b8 // tile8,)
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    out, rew = pl.pallas_call(
+        functools.partial(_rollout_autoreset_kernel8, horizon),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((80, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((80, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((80, b8), states_t.dtype),
+            jax.ShapeDtypeStruct((8, b8), states_t.dtype),
+        ],
+    )(seed_arr, s80)
+    return out.reshape(10, batch), rew.reshape(batch)

@@ -56,3 +56,31 @@ def test_pallas_autoreset_stays_in_envelope():
     pos_norm = np.linalg.norm(f[0:3], axis=0)
     assert pos_norm.max() < 3.5
     assert np.isfinite(float(rew.sum()))
+
+
+def test_pallas_dense_kernel_matches_base():
+    """The sublane-dense (80, B/8) kernel computes the same math as the
+    base kernel / scan path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    key = jax.random.PRNGKey(2)
+    B, T = 1024, 30
+    states = (env.vreset(jax.random.split(key, B)) * 0.1).astype(jnp.float32)  # tame
+
+    f_scan, traj = jax.jit(
+        lambda s, k: control_rollout(env, s, k, T, auto_reset=False)
+    )(states, key)
+    assert int(traj.done.sum()) == 0  # no resets -> comparable
+
+    with pltpu.force_tpu_interpret_mode():
+        f8, rew8 = pallas_rollout.quad3d_rollout_autoreset_pallas8(
+            states.T, 3, T, tile8=64
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(f8.T), np.asarray(f_scan), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(rew8.sum()), float(traj.reward.sum()), rtol=1e-4
+    )
