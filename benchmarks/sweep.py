@@ -32,7 +32,8 @@ def bench_env(env_id: str, batch: int, horizon: int) -> dict:
         @jax.jit
         def run(states, key):
             final, traj = control_rollout(
-                env, states, key, horizon, auto_reset=True, collect_trajectory=False
+                env, states, key, horizon, auto_reset=True,
+                collect_trajectory=False, dense8=batch % 8 == 0,
             )
             return traj.reward.sum()
 
@@ -41,15 +42,18 @@ def bench_env(env_id: str, batch: int, horizon: int) -> dict:
         # Fixed-action stepping (reinmav ignores actions; tpuquad hover-ish).
         actions_t = jnp.full((max(env.action_dim, 1), batch), 0.4, states.dtype)[: env.action_dim]
 
+        actions8 = actions_t.reshape(env.action_dim, 8, batch // 8) if env.action_dim else jnp.zeros((0, 8, batch // 8), states.dtype)
+
         @jax.jit
         def run(states, key):
             def body(carry, _):
-                s_t, k = carry
+                s8, k = carry
                 k, k_reset = jax.random.split(k)
-                out = env.autoreset_step_t(s_t, actions_t, k_reset)
+                out = env.autoreset_step_t8(s8, actions8, k_reset)
                 return (out.state, k), out.reward
 
-            (_, _), rewards = jax.lax.scan(body, (states.T, key), None, length=horizon)
+            s8 = states.T.reshape(env.state_dim, 8, batch // 8)
+            (_, _), rewards = jax.lax.scan(body, (s8, key), None, length=horizon)
             return rewards.sum()
 
         args = (states, key)

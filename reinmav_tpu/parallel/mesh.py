@@ -56,6 +56,39 @@ def shard_batch(mesh: Mesh, tree, axis_name: str = BATCH_AXIS):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def sharded_dense_rollout(env, mesh: Mesh, states, key: jax.Array, horizon: int,
+                          axis_name: str = BATCH_AXIS):
+    """Batch-sharded closed-loop rollout where every device runs the
+    sublane-dense (D, 8, B_local/8) scan on its own shard via
+    ``shard_map`` (the plain sharded path can't use the dense view — the
+    (8, B/8) reshape crosses shard boundaries; shard_map keeps it local).
+
+    Returns ``(final_states (B, D) batch-sharded, reward_sums (B,))``.
+    Reset streams fold in the device index, so results are deterministic
+    per (seed, mesh) but differ from a single-device run.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..envs.core import control_rollout
+
+    def local_run(local_states, k):
+        idx = jax.lax.axis_index(axis_name)
+        k = jax.random.fold_in(k, idx)
+        final, traj = control_rollout(
+            env, local_states, k, horizon, auto_reset=True,
+            collect_trajectory=False, dense8=local_states.shape[0] % 8 == 0,
+        )
+        return final, traj.reward.sum(axis=0)
+
+    run = shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=(P(axis_name), P(axis_name)),
+    )
+    return jax.jit(run)(states, key)
+
+
 def sharded_control_rollout(env, mesh: Mesh, batch: int, horizon: int, key: jax.Array,
                             axis_name: str = BATCH_AXIS, auto_reset: bool = True):
     """Compile a closed-loop controller rollout with the env batch sharded

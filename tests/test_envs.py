@@ -186,3 +186,21 @@ def test_reinmav_follows_quintic_trajectory():
     # Quaternion stays near unit norm (K_quat feedback).
     qn = np.linalg.norm(traj[:, 6:10], axis=1)
     assert np.abs(qn - 1.0).max() < 1e-3
+
+
+def test_dense8_rollout_matches_flat():
+    """The sublane-dense (D, 8, B/8) scan view returns identical results
+    to the flat (D, B) path for every env with a controller."""
+    for env_id in ["quadrotor2d-slungload-v0", "quadrotor3d-v0"]:
+        env = reinmav_tpu.make(env_id)
+        key = jax.random.PRNGKey(0)
+        states = env.vreset(jax.random.split(key, 64)) * 0.5
+        f1, t1 = control_rollout(env, states, key, 50, auto_reset=False, dense8=False)
+        f8, t8 = control_rollout(env, states, key, 50, auto_reset=False, dense8=True)
+        np.testing.assert_allclose(np.asarray(f8), np.asarray(f1), rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(
+            np.asarray(t8.reward), np.asarray(t1.reward), rtol=1e-12, atol=1e-14
+        )
+        np.testing.assert_allclose(
+            np.asarray(t8.state), np.asarray(t1.state), rtol=1e-12, atol=1e-14
+        )

@@ -13,7 +13,7 @@ import pytest
 
 import reinmav_tpu
 from reinmav_tpu.envs.core import control_rollout
-from reinmav_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+from reinmav_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch, sharded_dense_rollout
 
 
 @pytest.fixture(scope="module")
@@ -89,3 +89,22 @@ def test_rollout_compiles_without_collectives(mesh):
     hlo = lowered.compile().as_text()
     for op in ("all-reduce", "all-gather", "collective-permute", "reduce-scatter"):
         assert op not in hlo, f"unexpected collective {op} in rollout HLO"
+
+
+def test_sharded_dense_rollout(mesh):
+    """shard_map dense rollout: runs on all 8 devices, stays finite, and
+    is deterministic per seed."""
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    key = jax.random.PRNGKey(0)
+    batch = 128  # 16 per device, divisible by 8
+    states = jax.device_put(
+        env.vreset(jax.random.split(key, batch)), batch_sharding(mesh)
+    )
+    final1, rew1 = sharded_dense_rollout(env, mesh, states, key, 100)
+    final2, rew2 = sharded_dense_rollout(env, mesh, states, key, 100)
+    assert final1.shape == (batch, 10) and rew1.shape == (batch,)
+    assert len(final1.sharding.device_set) == 8
+    f1 = np.asarray(final1)
+    assert np.isfinite(f1).all()
+    np.testing.assert_array_equal(f1, np.asarray(final2))
+    np.testing.assert_array_equal(np.asarray(rew1), np.asarray(rew2))
