@@ -40,7 +40,8 @@ def bench_config(env, batch: int, horizon: int, key) -> float:
         from reinmav_tpu.envs.core import control_rollout
 
         final, traj = control_rollout(
-            env, states, key, horizon, auto_reset=True, collect_trajectory=False
+            env, states, key, horizon, auto_reset=True,
+            collect_trajectory=False, dense8=True,
         )
         return traj.reward.sum()
 

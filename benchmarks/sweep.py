@@ -35,7 +35,9 @@ def bench_env(env_id: str, batch: int, horizon: int) -> dict:
                 env, states, key, horizon, auto_reset=True,
                 collect_trajectory=False, dense8=batch % 8 == 0,
             )
-            return traj.reward.sum()
+            # Depend on the final state too: a state-independent reward
+            # would otherwise let XLA dead-code-eliminate the dynamics.
+            return traj.reward.sum() + final.sum()
 
         args = (states, key)
     else:
@@ -50,11 +52,15 @@ def bench_env(env_id: str, batch: int, horizon: int) -> dict:
                 s8, k = carry
                 k, k_reset = jax.random.split(k)
                 out = env.autoreset_step_t8(s8, actions8, k_reset)
-                return (out.state, k), out.reward
+                # Depend on the stepped OBS, not just reward/carry: envs
+                # with constant rewards and deterministic resets (reinmav:
+                # done≡True, reward≡90) would otherwise let XLA dead-code
+                # -eliminate the entire physics.
+                return (out.state, k), out.obs.sum()
 
             s8 = states.T.reshape(env.state_dim, 8, batch // 8)
-            (_, _), rewards = jax.lax.scan(body, (s8, key), None, length=horizon)
-            return rewards.sum()
+            (final, _), obs_sums = jax.lax.scan(body, (s8, key), None, length=horizon)
+            return obs_sums.sum() + final.sum()
 
         args = (states, key)
 

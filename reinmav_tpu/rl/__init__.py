@@ -1,3 +1,3 @@
-from . import networks, ppo
+from . import evaluate, networks, ppo
 
-__all__ = ["networks", "ppo"]
+__all__ = ["evaluate", "networks", "ppo"]

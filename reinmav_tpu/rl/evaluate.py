@@ -1,0 +1,78 @@
+"""Policy evaluation: batched deterministic (greedy-mean) rollouts with
+episode accounting.
+
+The reference's only evaluation is the ``--play`` render loop
+(``run.py:190-213``).  Here: a jitted batched evaluator that tracks
+per-episode returns/lengths across auto-resets and reports aggregate
+statistics — usable standalone or on a training cadence.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..envs.core import EnvDef
+from . import networks, ppo
+
+
+class EvalStats(NamedTuple):
+    mean_return: jnp.ndarray
+    mean_length: jnp.ndarray
+    num_episodes: jnp.ndarray
+    mean_reward: jnp.ndarray  # per-step average
+
+
+def evaluate(
+    env: EnvDef,
+    params,
+    obs_norm: ppo.ObsNorm | None,
+    key: jax.Array,
+    num_envs: int = 256,
+    horizon: int = 1000,
+) -> EvalStats:
+    """Greedy-mean policy rollout with episode statistics.
+
+    Episodes that are still running at the horizon are excluded from
+    return/length means (only completed episodes count).
+    """
+    k_reset, k_run = jax.random.split(key)
+    states = env.vreset(jax.random.split(k_reset, num_envs))
+
+    def body(carry, _):
+        s, k, ep_ret, ep_len, tot_ret, tot_len, n_eps = carry
+        k, k_reset2 = jax.random.split(k)
+        obs = s[:, : env.obs_dim]
+        if obs_norm is not None:
+            obs = ppo._normalize(obs, obs_norm)
+        mean, _, _ = networks.apply(params, obs)
+        out = env.autoreset_step(s, mean, k_reset2)
+        ep_ret = ep_ret + out.reward
+        ep_len = ep_len + 1
+        done_f = out.done.astype(ep_ret.dtype)
+        tot_ret = tot_ret + jnp.sum(ep_ret * done_f)
+        tot_len = tot_len + jnp.sum(ep_len * done_f)
+        n_eps = n_eps + jnp.sum(out.done).astype(n_eps.dtype)
+        ep_ret = ep_ret * (1.0 - done_f)
+        ep_len = ep_len * (1 - out.done.astype(ep_len.dtype))
+        return (out.state, k, ep_ret, ep_len, tot_ret, tot_len, n_eps), out.reward
+
+    dtype = states.dtype
+    zero_f = jnp.zeros(num_envs, dtype)
+    zero_i = jnp.zeros(num_envs, jnp.int32)
+    init = (
+        states, k_run, zero_f, zero_i,
+        jnp.asarray(0.0, dtype), jnp.asarray(0, dtype), jnp.asarray(0, jnp.int32),
+    )
+    (s, _, _, _, tot_ret, tot_len, n_eps), rewards = jax.lax.scan(
+        body, init, None, length=horizon
+    )
+    safe_n = jnp.maximum(n_eps, 1)
+    return EvalStats(
+        mean_return=tot_ret / safe_n,
+        mean_length=tot_len / safe_n,
+        num_episodes=n_eps,
+        mean_reward=rewards.mean(),
+    )

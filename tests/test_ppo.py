@@ -99,3 +99,18 @@ def test_checkpoint_roundtrip(tmp_path):
     restored = ckpt.restore(path, other)
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_statistics():
+    from reinmav_tpu.rl import evaluate
+
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = small_cfg()
+    state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(0))
+    stats = jax.jit(
+        lambda p, n, k: evaluate.evaluate(env, p, n, k, num_envs=64, horizon=200)
+    )(state.params, state.obs_norm, jax.random.PRNGKey(1))
+    # Untrained policy on random inits terminates episodes regularly.
+    assert int(stats.num_episodes) > 0
+    assert np.isfinite(float(stats.mean_return))
+    assert 0 < float(stats.mean_length) <= 200

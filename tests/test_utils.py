@@ -72,3 +72,15 @@ def test_throughput_rollout_scan_backend():
     # auto on CPU resolves to scan
     final3, _ = throughput_rollout(env, states, key, 50, backend="auto")
     np.testing.assert_allclose(np.asarray(final3), np.asarray(final2), rtol=1e-12)
+
+
+def test_profiler_trace_context(tmp_path):
+    from reinmav_tpu.utils.profiling import time_fn, trace
+
+    with trace(str(tmp_path)):
+        jnp.ones(8).sum().block_until_ready()
+    # a trace directory with events was written
+    assert any(tmp_path.rglob("*"))
+
+    secs, result = time_fn(jax.jit(lambda x: x * 2), jnp.ones(16), warmup=1, iters=3)
+    assert secs >= 0 and float(result.sum()) == 32.0
