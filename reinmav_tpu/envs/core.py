@@ -179,8 +179,12 @@ def rollout(
 ):
     """Closed-loop batched rollout as a single ``lax.scan``.
 
-    ``policy_fn(obs_batch, key) -> action_batch`` (row layout, (B, obs))
-    may be a classical controller (ignore the key) or a stochastic policy.
+    ``policy_fn(states_batch, key) -> action_batch`` receives the FULL
+    state in row layout (B, state_dim) — classical controllers read state
+    beyond the observation (the reference's ``env.control()`` uses
+    internal state, ``quadrotor3d.py:126``); an observation-based policy
+    should slice ``states[:, :env.obs_dim]`` itself (see
+    ``rl.ppo.collect_rollout`` for the obs-normalised RL version).
     Returns the final states and the stacked trajectory ``StepOut`` with
     leading time axis ``(T, B, ...)``.
 
@@ -191,8 +195,7 @@ def rollout(
     def body(carry, _):
         states_t, k = carry
         k, k_act, k_reset = jax.random.split(k, 3)
-        obs = states_t[: env.obs_dim, :].T  # policy sees row layout
-        actions_t = policy_fn(obs, k_act).T
+        actions_t = policy_fn(states_t.T, k_act).T
         if auto_reset:
             out = env.autoreset_step_t(states_t, actions_t, k_reset)
         else:
@@ -288,7 +291,8 @@ def control_rollout(env: EnvDef, init_states, key, horizon: int, auto_reset: boo
     return final_t.T, traj
 
 
-def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str = "auto"):
+def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str = "auto",
+                       dense8: bool | None = None):
     """Maximum-rate closed-loop rollout: returns only (final_states,
     per-env reward sums) — no trajectory materialisation.
 
@@ -296,6 +300,16 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
     default params on TPU only), "scan" (any env), or "auto" (pallas when
     eligible, else scan).  Pallas auto-reset uses the on-core PRNG — a
     different stream than ``jax.random`` but deterministic per seed.
+
+    Envs without a classical controller are stepped with zero actions
+    (reinmav-v0 ignores actions entirely).
+
+    ``dense8``: sublane-dense scan view; default (None) enables it when
+    the batch is divisible by 8 AND the input is not sharded across
+    multiple devices (the (8, B/8) reshape would cross shard boundaries —
+    use :func:`reinmav_tpu.parallel.sharded_dense_rollout` on a mesh).
+    Pass an explicit bool when calling from inside jit with sharded
+    inputs, where placement cannot be inspected.
     """
     if backend == "auto":
         backend = "scan"
@@ -318,11 +332,45 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
             tile8=min(512, init_states.shape[0] // 8),
         )
         return final_t.T, reward_sum
-    dense8 = init_states.shape[0] % 8 == 0
-    final, traj = control_rollout(
-        env, init_states, key, horizon, collect_trajectory=False, dense8=dense8
-    )
-    return final, traj.reward.sum(axis=0)
+    if dense8 is None:
+        single_device = (
+            not hasattr(init_states, "sharding")
+            or len(getattr(init_states.sharding, "device_set", [None])) <= 1
+        )
+        dense8 = init_states.shape[0] % 8 == 0 and single_device
+    if env.control_fn is not None:
+        final, traj = control_rollout(
+            env, init_states, key, horizon, collect_trajectory=False, dense8=dense8
+        )
+        return final, traj.reward.sum(axis=0)
+    # Controller-less envs (reinmav-v0 ignores actions; tpuquad): step
+    # with zero actions.
+    return _zero_action_rollout(env, init_states, key, horizon, dense8)
+
+
+def _zero_action_rollout(env: EnvDef, init_states, key, horizon: int, dense8: bool):
+    batch = init_states.shape[0]
+    dtype = init_states.dtype
+    if dense8:
+        actions = jnp.zeros((env.action_dim, 8, batch // 8), dtype)
+        init = init_states.T.reshape(env.state_dim, 8, batch // 8)
+        step_fn, reward_reshape = env.autoreset_step_t8, (horizon, batch)
+    else:
+        actions = jnp.zeros((env.action_dim, batch), dtype)
+        init = init_states.T
+        step_fn, reward_reshape = env.autoreset_step_t, None
+
+    def body(carry, _):
+        s, k = carry
+        k, k_reset = jax.random.split(k)
+        out = step_fn(s, actions, k_reset)
+        return (out.state, k), out.reward
+
+    (final, _), rewards = jax.lax.scan(body, (init, key), None, length=horizon)
+    if dense8:
+        final = final.reshape(env.state_dim, batch)
+        rewards = rewards.reshape(reward_reshape)
+    return final.T, rewards.sum(axis=0)
 
 
 def uniform_reset(dim: int, low: float = -1.0, high: float = 1.0):

@@ -251,7 +251,7 @@ def make_force_ground(params: Params | None = None) -> EnvDef:
         obs_dim=13,
         params=p,
         step_fn=lambda params, s, a: _force_env_step(params, s, a, hovering=False),
-        reset_fn=_deterministic_reset(0.0),
+        reset_fn=_deterministic_reset(p.init_z),
         action_low=0.0,
         action_high=1.0,
     )
@@ -266,7 +266,7 @@ def make_hovering(params: Params | None = None) -> EnvDef:
         obs_dim=13,
         params=p,
         step_fn=lambda params, s, a: _force_env_step(params, s, a, hovering=True),
-        reset_fn=_deterministic_reset(1.0),
+        reset_fn=_deterministic_reset(p.init_z),
         action_low=0.0,
         action_high=1.0,
     )
@@ -281,7 +281,7 @@ def make_quat(params: QuatParams | None = None) -> EnvDef:
         obs_dim=13,
         params=p,
         step_fn=_quat_env_step,
-        reset_fn=_deterministic_reset(0.0),
+        reset_fn=_deterministic_reset(p.init_z),
         action_low=-1.0,
         action_high=4.0,
     )

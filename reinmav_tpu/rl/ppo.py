@@ -79,12 +79,12 @@ def _normalize(obs, norm: ObsNorm):
     return jnp.clip((obs - norm.mean) / jnp.sqrt(norm.var + 1e-8), -10.0, 10.0)
 
 
-def _update_obs_norm(norm: ObsNorm, batch_obs) -> ObsNorm:
-    """Welford-style parallel update over a (T, B, D) batch."""
-    flat = batch_obs.reshape(-1, batch_obs.shape[-1])
-    b_mean = jnp.mean(flat, axis=0)
-    b_var = jnp.var(flat, axis=0)
-    b_count = flat.shape[0]
+def _update_obs_norm(norm: ObsNorm, moments) -> ObsNorm:
+    """Welford-style parallel update from streaming RAW-obs moments
+    (sum, sum-of-squares, count) gathered during the rollout."""
+    b_count = moments.count
+    b_mean = moments.total / b_count
+    b_var = moments.total_sq / b_count - jnp.square(b_mean)
     delta = b_mean - norm.mean
     tot = norm.count + b_count
     new_mean = norm.mean + delta * (b_count / tot)
@@ -113,23 +113,48 @@ def init_train_state(env: EnvDef, cfg: PpoConfig, key: jax.Array) -> TrainState:
     return TrainState(params, opt_state, env_states, obs_norm, k_loop, jnp.asarray(0))
 
 
+class RawObsMoments(NamedTuple):
+    """Streaming raw-observation moments accumulated during a rollout
+    (sums, not normalised obs — the normalisation statistics must track
+    the RAW distribution, not their own output)."""
+
+    total: jnp.ndarray  # (D,)
+    total_sq: jnp.ndarray  # (D,)
+    count: jnp.ndarray  # scalar
+
+
 def collect_rollout(env: EnvDef, cfg: PpoConfig, params, obs_norm, env_states, key):
-    """T-step batched rollout under the current policy as a lax.scan."""
+    """T-step batched rollout under the current policy as a lax.scan.
+
+    Returns (final_states, key, traj, raw_moments): ``traj.obs`` holds the
+    *normalised* observations the policy consumed (what the loss needs),
+    while ``raw_moments`` carries streaming sums of the raw observations
+    for the running-normalisation update."""
 
     def body(carry, _):
-        states, k = carry
+        states, k, mom = carry
         k, k_act, k_reset = jax.random.split(k, 3)
         obs = states[:, : env.obs_dim]
+        mom = RawObsMoments(
+            mom.total + obs.sum(axis=0),
+            mom.total_sq + jnp.square(obs).sum(axis=0),
+            mom.count + obs.shape[0],
+        )
         norm_obs = _normalize(obs, obs_norm) if cfg.normalize_obs else obs
         action, log_prob, value = networks.sample_action(params, norm_obs, k_act)
         out = env.autoreset_step(states, action, k_reset)
         trans = Transition(norm_obs, action, log_prob, value, out.reward, out.done)
-        return (out.state, k), trans
+        return (out.state, k, mom), trans
 
-    (final_states, key), traj = jax.lax.scan(
-        body, (env_states, key), None, length=cfg.rollout_len
+    dtype = env_states.dtype
+    mom0 = RawObsMoments(
+        jnp.zeros(env.obs_dim, dtype), jnp.zeros(env.obs_dim, dtype),
+        jnp.asarray(0.0, dtype),
     )
-    return final_states, key, traj
+    (final_states, key, raw_moments), traj = jax.lax.scan(
+        body, (env_states, key, mom0), None, length=cfg.rollout_len
+    )
+    return final_states, key, traj, raw_moments
 
 
 def compute_gae(cfg: PpoConfig, traj: Transition, last_value):
@@ -186,7 +211,7 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState):
     sharded over a mesh) at the call site or via :func:`make_train_step`."""
     optimizer = make_optimizer(cfg)
 
-    env_states, key, traj = collect_rollout(
+    env_states, key, traj, raw_moments = collect_rollout(
         env, cfg, state.params, state.obs_norm, state.env_states, state.key
     )
     last_obs = env_states[:, : env.obs_dim]
@@ -228,7 +253,9 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState):
     )
 
     obs_norm = (
-        _update_obs_norm(state.obs_norm, traj.obs) if cfg.normalize_obs else state.obs_norm
+        _update_obs_norm(state.obs_norm, raw_moments)
+        if cfg.normalize_obs
+        else state.obs_norm
     )
     new_state = TrainState(
         params, opt_state, env_states, obs_norm, key, state.update_step + 1

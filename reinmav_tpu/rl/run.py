@@ -89,7 +89,8 @@ def train(args) -> ppo.TrainState:
     num_updates = max(1, int(args.num_timesteps) // steps_per_update)
     logger = MetricsLogger(log_dir=args.log_dir)
 
-    t0 = time.perf_counter()
+    last_t = time.perf_counter()
+    last_update = 0
     update = 0
     while update < num_updates:
         state, metrics = step_fn(state)
@@ -97,11 +98,17 @@ def train(args) -> ppo.TrainState:
         if k > 1:  # stacked metrics from the fused updates: report means
             metrics = {name: val.mean() for name, val in metrics.items()}
         if (update // k) % args.log_interval == 0 or update >= num_updates:
-            elapsed = time.perf_counter() - t0
+            # Interval rate (not cumulative): the first interval absorbs
+            # the multi-minute XLA compile and would dominate a running
+            # average for hundreds of updates.
+            jax.block_until_ready(state.params)
+            now = time.perf_counter()
+            sps = steps_per_update * (update - last_update) / max(now - last_t, 1e-9)
+            last_t, last_update = now, update
             logger.log(
                 update,
                 {"env_steps": steps_per_update * update,
-                 "steps_per_sec": round(steps_per_update * update / elapsed),
+                 "steps_per_sec": round(sps),
                  **metrics},
             )
         if args.save_path and logger.is_main and (update // k) % args.save_interval == 0:

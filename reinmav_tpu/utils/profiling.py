@@ -26,20 +26,27 @@ def trace(log_dir: str):
 
 
 def time_fn(fn, *args, warmup: int = 2, iters: int = 10):
-    """Median wall time of ``fn(*args)`` with block_until_ready fencing.
+    """Median wall time of ``fn(*args)`` with host-transfer fencing.
 
     Returns (seconds_per_call, result).  ``fn`` should be jitted; warmup
-    calls absorb compilation.
+    calls absorb compilation.  Synchronisation forces a device->host
+    transfer of the result — on tunnelled/remote TPU runtimes
+    ``block_until_ready`` can return before execution completes, which
+    silently inflates throughput numbers.
     """
+
+    def sync(r):
+        jax.tree.map(lambda leaf: jax.device_get(leaf), r)
+
     result = None
     for _ in range(warmup):
         result = fn(*args)
-    jax.block_until_ready(result)
+    sync(result)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         result = fn(*args)
-        jax.block_until_ready(result)
+        sync(result)
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2], result

@@ -114,3 +114,28 @@ def test_evaluate_statistics():
     assert int(stats.num_episodes) > 0
     assert np.isfinite(float(stats.mean_return))
     assert 0 < float(stats.mean_length) <= 200
+
+
+def test_obs_norm_tracks_raw_distribution():
+    """Regression: the running normalisation must converge to the RAW obs
+    statistics, not the statistics of its own normalised output (which
+    would fix-point at var ~= sigma instead of sigma^2)."""
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = small_cfg(num_envs=128, rollout_len=32)
+    state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(7))
+    step = ppo.make_train_step(env, cfg)
+    for _ in range(5):
+        state, _ = step(state)
+
+    # Independent estimate of the raw on-policy obs distribution.
+    _, _, traj, mom = ppo.collect_rollout(
+        env, cfg, state.params, state.obs_norm, state.env_states, state.key
+    )
+    raw_mean = np.asarray(mom.total / mom.count)
+    raw_var = np.asarray(mom.total_sq / mom.count) - raw_mean**2
+
+    got_var = np.asarray(state.obs_norm.var)
+    # Loose agreement in scale: within 3x of raw variance per component
+    # (running stats lag the distribution, but must not be at sqrt scale).
+    ratio = got_var / (raw_var + 1e-6)
+    assert (ratio > 0.2).all() and (ratio < 5.0).all(), ratio

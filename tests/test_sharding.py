@@ -108,3 +108,25 @@ def test_sharded_dense_rollout(mesh):
     assert np.isfinite(f1).all()
     np.testing.assert_array_equal(f1, np.asarray(final2))
     np.testing.assert_array_equal(np.asarray(rew1), np.asarray(rew2))
+
+
+def test_train_many_sharded(mesh):
+    """Fused multi-update PPO with mesh shardings: two fused updates equal
+    two sequential sharded updates."""
+    from reinmav_tpu.rl import ppo
+
+    env = reinmav_tpu.make("quadrotor2d-v0")
+    cfg = ppo.PpoConfig(num_envs=32, rollout_len=8, num_epochs=1, num_minibatches=2, hidden=(16, 16))
+    state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(3))
+
+    many = ppo.make_train_many(env, cfg, 2, mesh)
+    single = ppo.make_train_step(env, cfg, mesh)
+
+    s_many, metrics = many(state)
+    s_seq, _ = single(state)
+    s_seq, _ = single(s_seq)
+
+    for a, b in zip(jax.tree.leaves(s_many.params), jax.tree.leaves(s_seq.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8)
+    # stacked metrics have a leading axis of 2
+    assert all(np.asarray(v).shape[0] == 2 for v in metrics.values())

@@ -84,3 +84,26 @@ def test_profiler_trace_context(tmp_path):
 
     secs, result = time_fn(jax.jit(lambda x: x * 2), jnp.ones(16), warmup=1, iters=3)
     assert secs >= 0 and float(result.sum()) == 32.0
+
+
+def test_throughput_rollout_controllerless_envs():
+    """Regression: envs without a classical controller (reinmav, tpuquad)
+    must work through throughput_rollout (zero-action stepping)."""
+    from reinmav_tpu.envs.core import throughput_rollout
+
+    for env_id in ["reinmav-v0", "MujocoQuadForce-v1"]:
+        env = reinmav_tpu.make(env_id)
+        key = jax.random.PRNGKey(0)
+        states = env.vreset(jax.random.split(key, 16))
+        final, rew = throughput_rollout(env, states, key, 20, backend="scan")
+        assert final.shape == (16, env.state_dim)
+        assert np.isfinite(np.asarray(rew)).all()
+
+
+def test_tpuquad_init_z_override():
+    """Regression: Params.init_z must control the reset altitude."""
+    from reinmav_tpu.envs import tpuquad
+
+    env = reinmav_tpu.make("MujocoQuadForce-v1", params=tpuquad.Params(init_z=0.5))
+    s = env.reset(jax.random.PRNGKey(0))
+    assert float(s[2]) == 0.5
