@@ -45,6 +45,7 @@ class PpoConfig(NamedTuple):
     num_minibatches: int = 4
     hidden: tuple = (64, 64)
     normalize_obs: bool = True
+    normalize_rewards: bool = True
     normalize_advantages: bool = True
 
 
@@ -57,11 +58,22 @@ class ObsNorm(NamedTuple):
     count: jnp.ndarray
 
 
+class RetNorm(NamedTuple):
+    """Running discounted-return scale for reward normalisation — the
+    other half of the reference stack's VecNormalize (baselines scales
+    rewards by the RMS of the discounted return; ``run.py:91-92``)."""
+
+    var: jnp.ndarray  # scalar
+    count: jnp.ndarray  # scalar
+
+
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     env_states: jnp.ndarray
     obs_norm: ObsNorm
+    ret_norm: RetNorm
+    env_returns: jnp.ndarray  # (B,) running discounted returns
     key: jax.Array
     update_step: jnp.ndarray
 
@@ -110,7 +122,12 @@ def init_train_state(env: EnvDef, cfg: PpoConfig, key: jax.Array) -> TrainState:
     obs_norm = ObsNorm(
         jnp.zeros(env.obs_dim), jnp.ones(env.obs_dim), jnp.asarray(1e-4)
     )
-    return TrainState(params, opt_state, env_states, obs_norm, k_loop, jnp.asarray(0))
+    ret_norm = RetNorm(jnp.asarray(1.0), jnp.asarray(1e-4))
+    env_returns = jnp.zeros(cfg.num_envs)
+    return TrainState(
+        params, opt_state, env_states, obs_norm, ret_norm, env_returns,
+        k_loop, jnp.asarray(0),
+    )
 
 
 class RawObsMoments(NamedTuple):
@@ -123,38 +140,74 @@ class RawObsMoments(NamedTuple):
     count: jnp.ndarray  # scalar
 
 
-def collect_rollout(env: EnvDef, cfg: PpoConfig, params, obs_norm, env_states, key):
+def collect_rollout(env: EnvDef, cfg: PpoConfig, params, obs_norm, ret_norm,
+                    env_states, env_returns, key):
     """T-step batched rollout under the current policy as a lax.scan.
 
-    Returns (final_states, key, traj, raw_moments): ``traj.obs`` holds the
-    *normalised* observations the policy consumed (what the loss needs),
-    while ``raw_moments`` carries streaming sums of the raw observations
-    for the running-normalisation update."""
+    Returns (final_states, env_returns, key, traj, obs_moments,
+    ret_moments): ``traj.obs`` holds the *normalised* observations the
+    policy consumed and ``traj.reward`` the *scaled* rewards (what the
+    learner needs); the moment accumulators stream RAW statistics for the
+    running-normalisation updates.  ``env_returns`` carries the per-env
+    discounted return across rollouts (reset to 0 at episode ends), used
+    as the reward scale — baselines' VecNormalize semantics."""
 
     def body(carry, _):
-        states, k, mom = carry
+        states, ret, k, omom, rmom, raw_rew_sum = carry
         k, k_act, k_reset = jax.random.split(k, 3)
         obs = states[:, : env.obs_dim]
-        mom = RawObsMoments(
-            mom.total + obs.sum(axis=0),
-            mom.total_sq + jnp.square(obs).sum(axis=0),
-            mom.count + obs.shape[0],
+        omom = RawObsMoments(
+            omom.total + obs.sum(axis=0),
+            omom.total_sq + jnp.square(obs).sum(axis=0),
+            omom.count + obs.shape[0],
         )
         norm_obs = _normalize(obs, obs_norm) if cfg.normalize_obs else obs
         action, log_prob, value = networks.sample_action(params, norm_obs, k_act)
         out = env.autoreset_step(states, action, k_reset)
-        trans = Transition(norm_obs, action, log_prob, value, out.reward, out.done)
-        return (out.state, k, mom), trans
+
+        reward = out.reward
+        ret = ret * cfg.gamma + reward
+        rmom = RawObsMoments(
+            rmom.total + ret.sum(),
+            rmom.total_sq + jnp.square(ret).sum(),
+            rmom.count + ret.shape[0],
+        )
+        if cfg.normalize_rewards:
+            reward = jnp.clip(reward / jnp.sqrt(ret_norm.var + 1e-8), -10.0, 10.0)
+        ret = ret * (1.0 - out.done.astype(ret.dtype))
+        raw_rew_sum = raw_rew_sum + out.reward.sum()
+
+        trans = Transition(norm_obs, action, log_prob, value, reward, out.done)
+        return (out.state, ret, k, omom, rmom, raw_rew_sum), trans
 
     dtype = env_states.dtype
-    mom0 = RawObsMoments(
+    omom0 = RawObsMoments(
         jnp.zeros(env.obs_dim, dtype), jnp.zeros(env.obs_dim, dtype),
         jnp.asarray(0.0, dtype),
     )
-    (final_states, key, raw_moments), traj = jax.lax.scan(
-        body, (env_states, key, mom0), None, length=cfg.rollout_len
+    rmom0 = RawObsMoments(
+        jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)
     )
-    return final_states, key, traj, raw_moments
+    (final_states, env_returns, key, obs_moments, ret_moments, raw_rew_sum), traj = (
+        jax.lax.scan(
+            body,
+            (env_states, env_returns, key, omom0, rmom0, jnp.asarray(0.0, dtype)),
+            None,
+            length=cfg.rollout_len,
+        )
+    )
+    raw_reward_mean = raw_rew_sum / (cfg.rollout_len * env_states.shape[0])
+    return final_states, env_returns, key, traj, obs_moments, ret_moments, raw_reward_mean
+
+
+def _update_ret_norm(norm: RetNorm, moments) -> RetNorm:
+    """Running variance of the discounted return (mean NOT subtracted —
+    baselines scales by return RMS)."""
+    b_count = moments.count
+    b_var = moments.total_sq / b_count  # second moment about zero
+    tot = norm.count + b_count
+    new_var = (norm.var * norm.count + b_var * b_count) / tot
+    return RetNorm(new_var, tot)
 
 
 def compute_gae(cfg: PpoConfig, traj: Transition, last_value):
@@ -211,8 +264,9 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState):
     sharded over a mesh) at the call site or via :func:`make_train_step`."""
     optimizer = make_optimizer(cfg)
 
-    env_states, key, traj, raw_moments = collect_rollout(
-        env, cfg, state.params, state.obs_norm, state.env_states, state.key
+    env_states, env_returns, key, traj, obs_moments, ret_moments, raw_reward_mean = collect_rollout(
+        env, cfg, state.params, state.obs_norm, state.ret_norm,
+        state.env_states, state.env_returns, state.key,
     )
     last_obs = env_states[:, : env.obs_dim]
     last_norm = _normalize(last_obs, state.obs_norm) if cfg.normalize_obs else last_obs
@@ -253,15 +307,21 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState):
     )
 
     obs_norm = (
-        _update_obs_norm(state.obs_norm, raw_moments)
+        _update_obs_norm(state.obs_norm, obs_moments)
         if cfg.normalize_obs
         else state.obs_norm
     )
+    ret_norm = (
+        _update_ret_norm(state.ret_norm, ret_moments)
+        if cfg.normalize_rewards
+        else state.ret_norm
+    )
     new_state = TrainState(
-        params, opt_state, env_states, obs_norm, key, state.update_step + 1
+        params, opt_state, env_states, obs_norm, ret_norm, env_returns,
+        key, state.update_step + 1,
     )
     summary = {
-        "mean_reward": jnp.mean(traj.reward),
+        "mean_reward": raw_reward_mean,  # RAW reward (traj.reward is scaled)
         "mean_episode_done_frac": jnp.mean(traj.done.astype(jnp.float32)),
         **{name: jnp.mean(val) for name, val in metrics.items()},
     }
@@ -297,7 +357,8 @@ def make_train_many(env: EnvDef, cfg: PpoConfig, num_updates: int, mesh=None):
     rep = replicated(mesh)
     state_shardings = TrainState(
         params=rep, opt_state=rep, env_states=bs,
-        obs_norm=ObsNorm(rep, rep, rep), key=rep, update_step=rep,
+        obs_norm=ObsNorm(rep, rep, rep), ret_norm=RetNorm(rep, rep),
+        env_returns=bs, key=rep, update_step=rep,
     )
     return jax.jit(fn, in_shardings=(state_shardings,),
                    out_shardings=(state_shardings, rep))
@@ -321,6 +382,8 @@ def make_train_step(env: EnvDef, cfg: PpoConfig, mesh=None):
             opt_state=rep,
             env_states=bs,
             obs_norm=ObsNorm(rep, rep, rep),
+            ret_norm=RetNorm(rep, rep),
+            env_returns=bs,
             key=rep,
             update_step=rep,
         ),
