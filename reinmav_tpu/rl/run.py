@@ -27,7 +27,7 @@ from .. import make
 from ..parallel.mesh import make_mesh
 from ..utils import checkpoint as ckpt
 from ..utils.metrics import MetricsLogger
-from . import networks, ppo
+from . import evaluate, networks, ppo
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fold this many PPO updates into one compiled call "
                         "(amortises dispatch on remote TPU runtimes)")
     p.add_argument("--log_dir", default=None)
+    p.add_argument("--eval_interval", type=int, default=0,
+                   help="greedy-policy evaluation every N logged updates (0=off)")
+    p.add_argument("--eval_envs", type=int, default=256)
+    p.add_argument("--eval_horizon", type=int, default=1000)
     p.add_argument("--play", action="store_true")
     p.add_argument("--play_steps", type=int, default=1000)
     p.add_argument("--gif", default=None, help="write the play rollout as a GIF")
@@ -111,6 +115,16 @@ def train(args) -> ppo.TrainState:
                  "steps_per_sec": round(sps),
                  **metrics},
             )
+        if args.eval_interval and (update // k) % args.eval_interval == 0:
+            stats = evaluate.evaluate(
+                env, state.params,
+                state.obs_norm if cfg.normalize_obs else None,
+                jax.random.fold_in(state.key, update),
+                num_envs=args.eval_envs, horizon=args.eval_horizon,
+            )
+            logger.log(update, {"eval_mean_return": stats.mean_return,
+                                "eval_mean_length": stats.mean_length,
+                                "eval_episodes": stats.num_episodes})
         if args.save_path and logger.is_main and (update // k) % args.save_interval == 0:
             ckpt.save(args.save_path, state)
 
