@@ -279,10 +279,33 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState):
     flat_adv = advantages.reshape(n)
     flat_ret = returns.reshape(n)
 
+    def shuffle_indices(k_perm):
+        """Random permutation of [0, n).  For power-of-two n (the usual
+        case: rollout_len * num_envs), a multiplicative-congruential
+        shuffle ``i -> (a*i + b) mod n`` with odd ``a`` is an exact
+        permutation and avoids jax.random.permutation's full sort — which
+        costs ~250 ms per MILLION elements on TPU and dominated the whole
+        update phase before this change."""
+        if n & (n - 1) == 0:
+            ks = jax.random.split(k_perm, 5)
+            mask = jnp.uint32(n - 1)
+            a1 = jax.random.randint(ks[0], (), 0, n // 2, jnp.uint32) * 2 + 1
+            b1 = jax.random.randint(ks[1], (), 0, n, jnp.uint32)
+            a2 = jax.random.randint(ks[2], (), 0, n // 2, jnp.uint32) * 2 + 1
+            b2 = jax.random.randint(ks[3], (), 0, n, jnp.uint32)
+            m = jax.random.randint(ks[4], (), 0, n, jnp.uint32)
+            i = jnp.arange(n, dtype=jnp.uint32)
+            # Compose bijections mod 2^k (mul-by-odd, add, xor): a single
+            # affine map would make every minibatch one arithmetic
+            # progression; the xor round breaks that structure.
+            j = ((i * a1 + b1) & mask) ^ m
+            return (j * a2 + b2) & mask
+        return jax.random.permutation(k_perm, n)
+
     def epoch(carry, _):
         params, opt_state, k = carry
         k, k_perm = jax.random.split(k)
-        perm = jax.random.permutation(k_perm, n)
+        perm = shuffle_indices(k_perm)
 
         def minibatch(carry_in, idx):
             params_, opt_state_ = carry_in
