@@ -23,6 +23,8 @@ class EvalStats(NamedTuple):
     mean_length: jnp.ndarray
     num_episodes: jnp.ndarray
     mean_reward: jnp.ndarray  # per-step average
+    mean_running_return: jnp.ndarray  # avg return of episodes still alive
+    survival_frac: jnp.ndarray  # fraction of envs alive the whole horizon
 
 
 def evaluate(
@@ -66,7 +68,7 @@ def evaluate(
         states, k_run, zero_f, zero_i,
         jnp.asarray(0.0, dtype), jnp.asarray(0, dtype), jnp.asarray(0, jnp.int32),
     )
-    (s, _, _, _, tot_ret, tot_len, n_eps), rewards = jax.lax.scan(
+    (_, _, running_ret, running_len, tot_ret, tot_len, n_eps), rewards = jax.lax.scan(
         body, init, None, length=horizon
     )
     safe_n = jnp.maximum(n_eps, 1)
@@ -75,4 +77,6 @@ def evaluate(
         mean_length=tot_len / safe_n,
         num_episodes=n_eps,
         mean_reward=rewards.mean(),
+        mean_running_return=running_ret.mean(),
+        survival_frac=jnp.mean((running_len == horizon).astype(jnp.float32)),
     )

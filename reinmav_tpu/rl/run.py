@@ -124,7 +124,9 @@ def train(args) -> ppo.TrainState:
             )
             logger.log(update, {"eval_mean_return": stats.mean_return,
                                 "eval_mean_length": stats.mean_length,
-                                "eval_episodes": stats.num_episodes})
+                                "eval_episodes": stats.num_episodes,
+                                "eval_running_return": stats.mean_running_return,
+                                "eval_survival_frac": stats.survival_frac})
         if args.save_path and logger.is_main and (update // k) % args.save_interval == 0:
             ckpt.save(args.save_path, state)
 
