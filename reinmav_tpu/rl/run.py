@@ -35,7 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     # train_hovering.py:34-54).
     p = argparse.ArgumentParser(description="TPU-native PPO training for reinmav envs")
     p.add_argument("--env", default="quadrotor3d-v0")
-    p.add_argument("--alg", default="ppo", choices=["ppo"])
+    p.add_argument("--alg", default="ppo", choices=["ppo", "a2c"],
+                   help="a2c = single-pass advantage actor-critic: the PPO "
+                        "machinery with one epoch, one batch and no ratio "
+                        "clipping (the surrogate reduces to the vanilla PG "
+                        "loss at ratio=1)")
     p.add_argument("--num_timesteps", type=float, default=1e6)
     p.add_argument("--num_env", type=int, default=1024)
     p.add_argument("--rollout_len", type=int, default=128)
@@ -78,6 +82,12 @@ def train(args) -> ppo.TrainState:
         entropy_coef=args.ent_coef,
         hidden=tuple([args.num_hidden] * args.num_layers),
     )
+    if args.alg == "a2c":
+        # On-policy single-pass PG: with exactly one epoch over the fresh
+        # rollout the importance ratio is 1, so an unclipped PPO surrogate
+        # IS the A2C objective (reference: baselines a2c via run.py --alg).
+        cfg = cfg._replace(num_epochs=1, num_minibatches=1, clip_eps=1e9,
+                           value_clip_eps=1e9)
     mesh = None if args.no_mesh else make_mesh()
     k = max(1, args.updates_per_jit)
     step_fn = (

@@ -150,3 +150,18 @@ def test_obs_norm_tracks_raw_distribution():
     # (running stats lag the distribution, but must not be at sqrt scale).
     ratio = got_var / (raw_var + 1e-6)
     assert (ratio > 0.2).all() and (ratio < 5.0).all(), ratio
+
+
+def test_a2c_mode_trains():
+    """--alg=a2c (single-pass unclipped surrogate == vanilla PG) runs and
+    moves parameters."""
+    from reinmav_tpu.rl.run import build_parser
+
+    args = build_parser().parse_args(
+        ["--alg=a2c", "--env=quadrotor2d-v0", "--num_timesteps=4096",
+         "--num_env=64", "--rollout_len=16", "--num_hidden=16", "--no_mesh"]
+    )
+    from reinmav_tpu.rl import run as run_mod
+
+    state = run_mod.train(args)
+    assert int(state.update_step) >= 1
