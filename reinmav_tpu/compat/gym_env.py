@@ -36,10 +36,16 @@ _PREFIX = "reinmav_tpu/"
 class GymAdapter(gymnasium.Env if gymnasium else object):
     metadata = {"render_modes": ["rgb_array"]}
 
-    def __init__(self, env_id: str, render_mode: Optional[str] = None):
+    def __init__(self, env_id: str, render_mode: Optional[str] = None,
+                 params=None, wrappers=()):
+        """``params``: frozen-param override for the underlying env;
+        ``wrappers``: EnvDef->EnvDef transforms (see envs.wrappers)
+        applied in order."""
         if gymnasium is None:
             raise ImportError("gymnasium is required for the compat adapter")
-        self.env = make_funcenv(env_id)
+        self.env = make_funcenv(env_id, **({"params": params} if params else {}))
+        for wrap in wrappers:
+            self.env = wrap(self.env)
         self.render_mode = render_mode
         # Interactive single-env stepping is dispatch-latency-bound, so pin
         # everything to the host CPU backend (µs per call); batched

@@ -69,3 +69,20 @@ def test_reinmav_actionless_env():
     assert obs.shape == (13,)
     obs, reward, term, trunc, _ = e.step(np.zeros(1))
     assert reward == 90.0 and term  # Q9 semantics
+
+
+def test_adapter_params_and_wrappers():
+    import functools
+
+    from reinmav_tpu.envs import quadrotor3d, wrappers
+
+    e = gym_env.GymAdapter(
+        "quadrotor3d-v0",
+        params=quadrotor3d.Params(ref_z=5.0),
+        wrappers=[functools.partial(wrappers.time_limit, max_steps=3)],
+    )
+    assert e.env.params.ref_z == 5.0
+    obs, _ = e.reset(seed=0)
+    for i in range(3):
+        obs, r, term, trunc, _ = e.step(np.zeros(4, np.float32))
+    assert term  # time limit after 3 steps (or env done earlier)

@@ -84,3 +84,16 @@ def test_pallas_dense_kernel_matches_base():
     np.testing.assert_allclose(
         float(rew8.sum()), float(traj.reward.sum()), rtol=1e-4
     )
+
+
+def test_pallas_autoreset_deterministic_per_seed():
+    """Same seed -> bitwise-identical kernel results (on-core PRNG)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    states = env.vreset(jax.random.split(jax.random.PRNGKey(4), 256)).astype(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        f1, r1 = pallas_rollout.quad3d_rollout_autoreset_pallas8(states.T, 9, 100, tile8=32)
+        f2, r2 = pallas_rollout.quad3d_rollout_autoreset_pallas8(states.T, 9, 100, tile8=32)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
