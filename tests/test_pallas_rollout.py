@@ -97,3 +97,49 @@ def test_pallas_autoreset_deterministic_per_seed():
         f2, r2 = pallas_rollout.quad3d_rollout_autoreset_pallas8(states.T, 9, 100, tile8=32)
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_reinmav_pallas_kernel_matches_scan():
+    """reinmav-v0 fused kernel vs the scan path (f32): agreement within
+    the scan path's own f32-vs-f64 drift."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from reinmav_tpu.ops.pallas_reinmav import available as r_available
+    from reinmav_tpu.ops.pallas_reinmav import reinmav_rollout_pallas8
+
+    if not r_available():
+        pytest.skip("pallas unavailable")
+    env = reinmav_tpu.make("reinmav-v0")
+    B, T = 256, 20
+    key = jax.random.PRNGKey(0)
+    base = env.reset(key)
+    states = jnp.tile(base, (B, 1)).astype(jnp.float32)
+    pert = jax.random.uniform(key, (B, 13), minval=-0.05, maxval=0.05).astype(jnp.float32)
+    states = states.at[:, :13].add(pert)
+
+    def body(s, _):
+        out = env.step(s, jnp.zeros(0))
+        return out.state, None
+
+    scan_run = jax.jit(jax.vmap(lambda s: jax.lax.scan(body, s, None, length=T)[0]))
+    f_scan = np.asarray(scan_run(states))
+
+    with pltpu.force_tpu_interpret_mode():
+        f_pal = np.asarray(reinmav_rollout_pallas8(states.T, T, tile8=32).T)
+
+    # ~1000 substeps of f32 vs the scan's own f32 rounding: <= 1e-3 abs.
+    assert np.abs(f_scan - f_pal).max() < 1e-3
+    np.testing.assert_allclose(f_pal[:, 13], T / 100.0, rtol=1e-5)
+
+
+def test_pallas_inverse_trig_accuracy():
+    """Custom asin/atan2 (Mosaic has no lowering) vs numpy, f32-eps level."""
+    from reinmav_tpu.ops import pallas_reinmav as pr
+
+    x = np.linspace(-0.999, 0.999, 5001).astype(np.float32)
+    assert np.abs(np.asarray(pr._asin(jnp.asarray(x))) - np.arcsin(x)).max() < 1e-6
+    rng_ = np.random.default_rng(0)
+    y = rng_.normal(size=5000).astype(np.float32)
+    z = rng_.normal(size=5000).astype(np.float32)
+    got = np.asarray(pr._atan2(jnp.asarray(y), jnp.asarray(z)))
+    assert np.abs(got - np.arctan2(y, z)).max() < 1e-6
