@@ -313,7 +313,8 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
     """
     if backend == "auto":
         backend = "scan"
-        if env.name == "quadrotor3d-v0" and jax.devices()[0].platform == "tpu":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if env.name == "quadrotor3d-v0" and on_tpu:
             from . import quadrotor3d
             from ..ops import pallas_rollout
 
@@ -323,7 +324,29 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
                 and init_states.shape[0] % 4096 == 0
             ):
                 backend = "pallas"
+        elif env.name == "reinmav-v0" and on_tpu:
+            from . import reinmav13
+            from ..ops import pallas_reinmav
+
+            if (
+                env.params == reinmav13.Params()
+                and pallas_reinmav.available()
+                and init_states.shape[0] % 4096 == 0
+            ):
+                backend = "pallas"
     if backend == "pallas":
+        if env.name == "reinmav-v0":
+            from ..ops import pallas_reinmav
+
+            final_t = pallas_reinmav.reinmav_rollout_pallas8(
+                init_states.T.astype(jnp.float32), horizon,
+                tile8=min(512, init_states.shape[0] // 8),
+            )
+            # reward ≡ 90 every step (Q9 semantics) — exact by construction.
+            reward_sum = jnp.full(
+                (init_states.shape[0],), 90.0 * horizon, jnp.float32
+            )
+            return final_t.T, reward_sum
         from ..ops import pallas_rollout
 
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
@@ -351,14 +374,25 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
 def _zero_action_rollout(env: EnvDef, init_states, key, horizon: int, dense8: bool):
     batch = init_states.shape[0]
     dtype = init_states.dtype
+    # reinmav-v0 is a continuous simulator whose done is always True (Q9);
+    # auto-resetting it would re-init every step and measure nothing.
+    # Step it plainly (matching the Pallas backend); the RL-style envs
+    # keep fused auto-reset.
+    plain = env.name == "reinmav-v0"
     if dense8:
         actions = jnp.zeros((env.action_dim, 8, batch // 8), dtype)
         init = init_states.T.reshape(env.state_dim, 8, batch // 8)
-        step_fn, reward_reshape = env.autoreset_step_t8, (horizon, batch)
+        step_fn, reward_reshape = (
+            (lambda s, a, k: env.vstep_t8(s, a)) if plain else env.autoreset_step_t8,
+            (horizon, batch),
+        )
     else:
         actions = jnp.zeros((env.action_dim, batch), dtype)
         init = init_states.T
-        step_fn, reward_reshape = env.autoreset_step_t, None
+        step_fn, reward_reshape = (
+            (lambda s, a, k: env.vstep_t(s, a)) if plain else env.autoreset_step_t,
+            None,
+        )
 
     def body(carry, _):
         s, k = carry
