@@ -95,7 +95,12 @@ class EnvDef:
     def vreset(self, keys) -> jnp.ndarray:
         return jax.vmap(self.reset_fn, in_axes=(None, 0))(self.params, keys)
 
+    def _require_control(self):
+        if self.control_fn is None:
+            raise NotImplementedError(f"{self.name} has no classical controller")
+
     def vcontrol(self, states) -> jnp.ndarray:
+        self._require_control()
         return jax.vmap(self.control_fn, in_axes=(None, 0))(self.params, states)
 
     def vstep_t(self, states_t, actions_t) -> StepOut:
@@ -109,6 +114,7 @@ class EnvDef:
         return jax.vmap(self.reset_fn, in_axes=(None, 0), out_axes=1)(self.params, keys)
 
     def vcontrol_t(self, states_t) -> jnp.ndarray:
+        self._require_control()
         return jax.vmap(self.control_fn, in_axes=(None, 1), out_axes=1)(self.params, states_t)
 
     def autoreset_step(self, states, actions, key) -> StepOut:
@@ -150,6 +156,7 @@ class EnvDef:
         )
 
     def vcontrol_t8(self, states8) -> jnp.ndarray:
+        self._require_control()
         inner = jax.vmap(self.control_fn, in_axes=(None, 1), out_axes=1)
         return jax.vmap(inner, in_axes=(None, 1), out_axes=1)(self.params, states8)
 
@@ -311,9 +318,13 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
     Pass an explicit bool when calling from inside jit with sharded
     inputs, where placement cannot be inspected.
     """
+    single_device = (
+        not hasattr(init_states, "sharding")
+        or len(getattr(init_states.sharding, "device_set", [None])) <= 1
+    )
     if backend == "auto":
         backend = "scan"
-        on_tpu = jax.devices()[0].platform == "tpu"
+        on_tpu = jax.devices()[0].platform == "tpu" and single_device
         if env.name == "quadrotor3d-v0" and on_tpu:
             from . import quadrotor3d
             from ..ops import pallas_rollout
@@ -335,20 +346,31 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
             ):
                 backend = "pallas"
     if backend == "pallas":
+        if init_states.shape[0] % 4096 != 0:
+            raise ValueError(
+                f"pallas backend needs batch % 4096 == 0, got {init_states.shape[0]}"
+            )
         if env.name == "reinmav-v0":
             from ..ops import pallas_reinmav
+
+            if not pallas_reinmav.available():
+                raise RuntimeError("pallas unavailable on this platform")
 
             final_t = pallas_reinmav.reinmav_rollout_pallas8(
                 init_states.T.astype(jnp.float32), horizon,
                 tile8=min(512, init_states.shape[0] // 8),
             )
-            # reward ≡ 90 every step (Q9 semantics) — exact by construction.
-            reward_sum = jnp.full(
-                (init_states.shape[0],), 90.0 * horizon, jnp.float32
-            )
+            # reward ≡ 90 every step (Q9 semantics) — exact by
+            # construction, but tie it to the kernel output so consumers
+            # that only use the reward cannot let XLA dead-code-eliminate
+            # the rollout (see CLAUDE.md benchmark-honesty note).
+            anchor = 0.0 * final_t[0]
+            reward_sum = 90.0 * horizon + anchor
             return final_t.T, reward_sum
         from ..ops import pallas_rollout
 
+        if not pallas_rollout.available():
+            raise RuntimeError("pallas unavailable on this platform")
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         final_t, reward_sum = pallas_rollout.quad3d_rollout_autoreset_pallas8(
             init_states.T.astype(jnp.float32), seed, horizon,
@@ -356,10 +378,6 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
         )
         return final_t.T, reward_sum
     if dense8 is None:
-        single_device = (
-            not hasattr(init_states, "sharding")
-            or len(getattr(init_states.sharding, "device_set", [None])) <= 1
-        )
         dense8 = init_states.shape[0] % 8 == 0 and single_device
     if env.control_fn is not None:
         final, traj = control_rollout(

@@ -109,7 +109,10 @@ def _atan2(y, x):
 
 
 def _asin(x):
-    return _atan2(x, jnp.sqrt(jnp.maximum((1.0 - x) * (1.0 + x), 0.0)))
+    # No clamp: |x| > 1 must produce NaN exactly like jnp.arcsin so the
+    # kernel and the scan path agree at (unreachable-in-practice)
+    # gimbal-lock overshoots instead of silently diverging.
+    return _atan2(x, jnp.sqrt((1.0 - x) * (1.0 + x)))
 
 
 def _substep(c, tk):
@@ -152,9 +155,6 @@ def _substep(c, tk):
     pos_d = 10.0 * tc3 - 15.0 * tc3 * tc + 6.0 * tc3 * tc2
     vel_d = (30.0 / _TMAX) * tc2 - (60.0 / _TMAX) * tc3 + (30.0 / _TMAX) * tc2 * tc2
     acc_d = (60.0 / _TMAX**2) * tc - (180.0 / _TMAX**2) * tc2 + (120.0 / _TMAX**2) * tc3
-    pos_d = pos_d * jnp.ones_like(x)
-    vel_d = vel_d * jnp.ones_like(x)
-    acc_d = acc_d * jnp.ones_like(x)
     psi_des, dpsi_des = pos_d, vel_d  # yaw follows the same quintic
 
     # -- inner PD controller (reference controller) -----------------------

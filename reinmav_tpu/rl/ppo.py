@@ -96,13 +96,16 @@ def _update_obs_norm(norm: ObsNorm, moments) -> ObsNorm:
     (sum, sum-of-squares, count) gathered during the rollout."""
     b_count = moments.count
     b_mean = moments.total / b_count
-    b_var = moments.total_sq / b_count - jnp.square(b_mean)
+    # E[x^2] - mean^2 can round negative in float32 for near-constant obs,
+    # which would drive var negative and NaN the normaliser — clamp like
+    # np.var's non-negativity.
+    b_var = jnp.maximum(moments.total_sq / b_count - jnp.square(b_mean), 0.0)
     delta = b_mean - norm.mean
     tot = norm.count + b_count
     new_mean = norm.mean + delta * (b_count / tot)
     m_a = norm.var * norm.count
     m_b = b_var * b_count
-    m2 = m_a + m_b + jnp.square(delta) * norm.count * b_count / tot
+    m2 = jnp.maximum(m_a + m_b + jnp.square(delta) * norm.count * b_count / tot, 0.0)
     return ObsNorm(new_mean, m2 / tot, tot)
 
 
@@ -156,25 +159,26 @@ def collect_rollout(env: EnvDef, cfg: PpoConfig, params, obs_norm, ret_norm,
         states, ret, k, omom, rmom, raw_rew_sum = carry
         k, k_act, k_reset = jax.random.split(k, 3)
         obs = states[:, : env.obs_dim]
-        omom = RawObsMoments(
-            omom.total + obs.sum(axis=0),
-            omom.total_sq + jnp.square(obs).sum(axis=0),
-            omom.count + obs.shape[0],
-        )
+        if cfg.normalize_obs:  # static at trace time
+            omom = RawObsMoments(
+                omom.total + obs.sum(axis=0),
+                omom.total_sq + jnp.square(obs).sum(axis=0),
+                omom.count + obs.shape[0],
+            )
         norm_obs = _normalize(obs, obs_norm) if cfg.normalize_obs else obs
         action, log_prob, value = networks.sample_action(params, norm_obs, k_act)
         out = env.autoreset_step(states, action, k_reset)
 
         reward = out.reward
-        ret = ret * cfg.gamma + reward
-        rmom = RawObsMoments(
-            rmom.total + ret.sum(),
-            rmom.total_sq + jnp.square(ret).sum(),
-            rmom.count + ret.shape[0],
-        )
-        if cfg.normalize_rewards:
+        if cfg.normalize_rewards:  # static at trace time
+            ret = ret * cfg.gamma + reward
+            rmom = RawObsMoments(
+                rmom.total + ret.sum(),
+                rmom.total_sq + jnp.square(ret).sum(),
+                rmom.count + ret.shape[0],
+            )
             reward = jnp.clip(reward / jnp.sqrt(ret_norm.var + 1e-8), -10.0, 10.0)
-        ret = ret * (1.0 - out.done.astype(ret.dtype))
+            ret = ret * (1.0 - out.done.astype(ret.dtype))
         raw_rew_sum = raw_rew_sum + out.reward.sum()
 
         trans = Transition(norm_obs, action, log_prob, value, reward, out.done)
