@@ -67,7 +67,10 @@ def sharded_dense_rollout(env, mesh: Mesh, states, key: jax.Array, horizon: int,
     Reset streams fold in the device index, so results are deterministic
     per (seed, mesh) but differ from a single-device run.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     from ..envs.core import control_rollout
 

@@ -204,3 +204,28 @@ def test_dense8_rollout_matches_flat():
         np.testing.assert_allclose(
             np.asarray(t8.state), np.asarray(t1.state), rtol=1e-12, atol=1e-14
         )
+
+
+def test_policy_rollout_full_state_contract():
+    """rollout() hands the FULL state (row layout) to policy_fn; a
+    controller-as-policy matches control_rollout exactly."""
+    from reinmav_tpu.envs.core import controller_policy, rollout
+
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    key = jax.random.PRNGKey(0)
+    states = env.vreset(jax.random.split(key, 16)) * 0.5
+
+    seen_shapes = []
+
+    def probe_policy(full_states, k):
+        seen_shapes.append(full_states.shape)
+        return env.vcontrol(full_states)
+
+    final1, traj1 = rollout(env, probe_policy, states, key, 20, auto_reset=False)
+    assert seen_shapes[0] == (16, env.state_dim)  # full state, row layout
+
+    final2, traj2 = control_rollout(env, states, key, 20, auto_reset=False)
+    np.testing.assert_allclose(np.asarray(final1), np.asarray(final2), rtol=1e-12)
+
+    final3, traj3 = rollout(env, controller_policy(env), states, key, 20, auto_reset=False)
+    np.testing.assert_allclose(np.asarray(final3), np.asarray(final2), rtol=1e-12)
