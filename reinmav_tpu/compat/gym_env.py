@@ -43,7 +43,9 @@ class GymAdapter(gymnasium.Env if gymnasium else object):
         applied in order."""
         if gymnasium is None:
             raise ImportError("gymnasium is required for the compat adapter")
-        self.env = make_funcenv(env_id, **({"params": params} if params else {}))
+        # `is not None` — a params NamedTuple whose fields are all falsy
+        # (zeros) is still a real override.
+        self.env = make_funcenv(env_id, **({"params": params} if params is not None else {}))
         for wrap in wrappers:
             self.env = wrap(self.env)
         self.render_mode = render_mode
@@ -93,7 +95,8 @@ class GymAdapter(gymnasium.Env if gymnasium else object):
         self._state = out.state
         obs = np.asarray(out.obs, np.float32)
         self._history.append(obs.copy())
-        return obs, float(out.reward), bool(out.done), False, {}
+        truncated = bool(out.truncated) if out.truncated is not None else False
+        return obs, float(out.reward), bool(out.done), truncated, {}
 
     def control(self):
         """Classical-controller action from the current internal state

@@ -35,12 +35,26 @@ import jax.numpy as jnp
 
 
 class StepOut(NamedTuple):
-    """Result of one environment transition."""
+    """Result of one environment transition.
+
+    ``done`` is *termination* (the MDP ended); ``truncated`` — set only by
+    wrappers such as :func:`~reinmav_tpu.envs.wrappers.time_limit` — is
+    horizon truncation (gymnasium's second flag).  ``truncated=None``
+    means "this env never truncates"; use :func:`episode_boundary` for
+    the combined reset/episode-end mask.
+    """
 
     state: jnp.ndarray
     obs: jnp.ndarray
     reward: jnp.ndarray
     done: jnp.ndarray
+    truncated: Optional[jnp.ndarray] = None
+
+
+def episode_boundary(out: StepOut) -> jnp.ndarray:
+    """Episode-end mask: terminated OR truncated (what auto-reset and
+    baselines-style GAE masking use)."""
+    return out.done if out.truncated is None else out.done | out.truncated
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,7 +121,7 @@ class EnvDef:
         """Batched step in transposed (D, B) layout (states/obs/actions
         batch-minor; reward/done stay (B,))."""
         return jax.vmap(
-            self.step_fn, in_axes=(None, 1, 1), out_axes=StepOut(1, 1, 0, 0)
+            self.step_fn, in_axes=(None, 1, 1), out_axes=StepOut(1, 1, 0, 0, 0)
         )(self.params, states_t, actions_t)
 
     def vreset_t(self, keys) -> jnp.ndarray:
@@ -129,16 +143,18 @@ class EnvDef:
         out = self.vstep(states, actions)
         batch = states.shape[0]
         reset_states = self.vreset(jax.random.split(key, batch))
-        next_states = jnp.where(out.done[:, None], reset_states.astype(out.state.dtype), out.state)
-        return StepOut(next_states, out.obs, out.reward, out.done)
+        boundary = episode_boundary(out)
+        next_states = jnp.where(boundary[:, None], reset_states.astype(out.state.dtype), out.state)
+        return out._replace(state=next_states)
 
     def autoreset_step_t(self, states_t, actions_t, key) -> StepOut:
         """Transposed-layout autoreset step ((D, B) states)."""
         out = self.vstep_t(states_t, actions_t)
         batch = states_t.shape[1]
         reset_states = self.vreset_t(jax.random.split(key, batch))
-        next_states = jnp.where(out.done[None, :], reset_states.astype(out.state.dtype), out.state)
-        return StepOut(next_states, out.obs, out.reward, out.done)
+        boundary = episode_boundary(out)
+        next_states = jnp.where(boundary[None, :], reset_states.astype(out.state.dtype), out.state)
+        return out._replace(state=next_states)
 
     # -- sublane-dense (D, 8, B/8) kernels ---------------------------------
     # A (D, B) carry gives the VPU (d_slice, B)-shaped ops whose sublane
@@ -149,7 +165,7 @@ class EnvDef:
     # shard boundaries; multi-chip uses the flat path per shard).
 
     def vstep_t8(self, states8, actions8) -> StepOut:
-        ax = StepOut(1, 1, 0, 0)
+        ax = StepOut(1, 1, 0, 0, 0)
         inner = jax.vmap(self.step_fn, in_axes=(None, 1, 1), out_axes=ax)
         return jax.vmap(inner, in_axes=(None, 1, 1), out_axes=ax)(
             self.params, states8, actions8
@@ -170,10 +186,11 @@ class EnvDef:
         keys = jax.random.split(key, eight * b8)
         keys8 = keys.reshape((eight, b8) + keys.shape[1:])
         reset_states = self.vreset_t8(keys8)
+        boundary = episode_boundary(out)
         next_states = jnp.where(
-            out.done[None, :, :], reset_states.astype(out.state.dtype), out.state
+            boundary[None, :, :], reset_states.astype(out.state.dtype), out.state
         )
-        return StepOut(next_states, out.obs, out.reward, out.done)
+        return out._replace(state=next_states)
 
 
 def rollout(
@@ -207,12 +224,12 @@ def rollout(
             out = env.autoreset_step_t(states_t, actions_t, k_reset)
         else:
             out = env.vstep_t(states_t, actions_t)
-        return (out.state, k), StepOut(out.state, out.obs, out.reward, out.done)
+        return (out.state, k), out
 
     init_t = init_states.T
     (final_t, _), traj = jax.lax.scan(body, (init_t, key), None, length=horizon)
-    traj = StepOut(
-        jnp.swapaxes(traj.state, 1, 2), jnp.swapaxes(traj.obs, 1, 2), traj.reward, traj.done
+    traj = traj._replace(
+        state=jnp.swapaxes(traj.state, 1, 2), obs=jnp.swapaxes(traj.obs, 1, 2)
     )
     return final_t.T, traj
 
@@ -264,7 +281,7 @@ def control_rollout(env: EnvDef, init_states, key, horizon: int, auto_reset: boo
             else:
                 out = env.vstep_t(states_t, actions_t)
         if collect_trajectory:
-            y = StepOut(out.state, out.obs, out.reward, out.done)
+            y = out
         else:
             y = (out.reward, out.done)
         return (out.state, k), y
@@ -277,16 +294,18 @@ def control_rollout(env: EnvDef, init_states, key, horizon: int, auto_reset: boo
         final_t = final_t.reshape(env.state_dim, batch)
     if collect_trajectory:
         state_traj, obs_traj = traj.state, traj.obs
-        reward_traj, done_traj = traj.reward, traj.done
+        reward_traj, done_traj, trunc_traj = traj.reward, traj.done, traj.truncated
         if dense8:
             t_len = state_traj.shape[0]
             state_traj = state_traj.reshape(t_len, env.state_dim, batch)
             obs_traj = obs_traj.reshape(t_len, obs_traj.shape[1], batch)
             reward_traj = reward_traj.reshape(t_len, batch)
             done_traj = done_traj.reshape(t_len, batch)
+            if trunc_traj is not None:
+                trunc_traj = trunc_traj.reshape(t_len, batch)
         traj = StepOut(
             jnp.swapaxes(state_traj, 1, 2), jnp.swapaxes(obs_traj, 1, 2),
-            reward_traj, done_traj,
+            reward_traj, done_traj, trunc_traj,
         )
     else:
         reward_traj, done_traj = traj
@@ -322,39 +341,54 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
         not hasattr(init_states, "sharding")
         or len(getattr(init_states.sharding, "device_set", [None])) <= 1
     )
+
+    def pallas_mismatch() -> str | None:
+        """Why the fused kernel would NOT reproduce this env's semantics
+        (None = eligible).  The kernels bake in the module step/control/
+        reset functions AND default params, so a wrapped env (same name,
+        replaced fns) or custom params must be refused, not silently run
+        with default physics."""
+        if env.name == "quadrotor3d-v0":
+            from . import quadrotor3d as mod
+            from ..ops import pallas_rollout as ops
+
+            fns_ok = (
+                env.step_fn is mod.step
+                and env.control_fn is mod.control
+                and env.reset_fn is mod.reset
+            )
+        elif env.name == "reinmav-v0":
+            from . import reinmav13 as mod
+            from ..ops import pallas_reinmav as ops
+
+            fns_ok = env.step_fn is mod.step and env.reset_fn is mod.reset
+        else:
+            return f"no fused kernel for {env.name}"
+        if not fns_ok:
+            return "env step/control/reset fns are wrapped or replaced"
+        if env.params != mod.Params():
+            return "non-default params (kernel bakes in defaults)"
+        if not ops.available():
+            return "pallas unavailable on this platform"
+        if init_states.shape[0] % 4096 != 0:
+            return f"batch % 4096 != 0 (got {init_states.shape[0]})"
+        return None
+
     if backend == "auto":
         backend = "scan"
-        on_tpu = jax.devices()[0].platform == "tpu" and single_device
-        if env.name == "quadrotor3d-v0" and on_tpu:
-            from . import quadrotor3d
-            from ..ops import pallas_rollout
-
-            if (
-                env.params == quadrotor3d.Params()
-                and pallas_rollout.available()
-                and init_states.shape[0] % 4096 == 0
-            ):
-                backend = "pallas"
-        elif env.name == "reinmav-v0" and on_tpu:
-            from . import reinmav13
-            from ..ops import pallas_reinmav
-
-            if (
-                env.params == reinmav13.Params()
-                and pallas_reinmav.available()
-                and init_states.shape[0] % 4096 == 0
-            ):
-                backend = "pallas"
+        if (
+            jax.devices()[0].platform == "tpu"
+            and single_device
+            and env.name in ("quadrotor3d-v0", "reinmav-v0")
+            and pallas_mismatch() is None
+        ):
+            backend = "pallas"
     if backend == "pallas":
-        if init_states.shape[0] % 4096 != 0:
-            raise ValueError(
-                f"pallas backend needs batch % 4096 == 0, got {init_states.shape[0]}"
-            )
+        reason = pallas_mismatch()
+        if reason is not None:
+            raise ValueError(f"pallas backend refused for {env.name}: {reason}")
         if env.name == "reinmav-v0":
             from ..ops import pallas_reinmav
-
-            if not pallas_reinmav.available():
-                raise RuntimeError("pallas unavailable on this platform")
 
             final_t = pallas_reinmav.reinmav_rollout_pallas8(
                 init_states.T.astype(jnp.float32), horizon,
@@ -369,8 +403,6 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
             return final_t.T, reward_sum
         from ..ops import pallas_rollout
 
-        if not pallas_rollout.available():
-            raise RuntimeError("pallas unavailable on this platform")
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         final_t, reward_sum = pallas_rollout.quad3d_rollout_autoreset_pallas8(
             init_states.T.astype(jnp.float32), seed, horizon,

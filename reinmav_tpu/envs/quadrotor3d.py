@@ -93,6 +93,12 @@ def control(p: Params, s: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([thrust[None], w])
 
 
+#: Module-level reset so wrapped/customised envs are detectable by
+#: identity (the fused-Pallas dispatch in ``core.throughput_rollout``
+#: refuses envs whose step/control/reset fns are not these exact objects).
+reset = uniform_reset(10)
+
+
 def make(params: Params | None = None) -> EnvDef:
     return EnvDef(
         name="quadrotor3d-v0",
@@ -101,7 +107,7 @@ def make(params: Params | None = None) -> EnvDef:
         obs_dim=10,
         params=params or Params(),
         step_fn=step,
-        reset_fn=uniform_reset(10),
+        reset_fn=reset,
         control_fn=control,
         action_low=0.0,
         action_high=10.0,

@@ -40,14 +40,21 @@ def scale_reward(env: EnvDef, scale: float) -> EnvDef:
 
     def step_fn(params, state, action):
         out = inner(params, state, action)
-        return StepOut(out.state, out.obs, out.reward * scale, out.done)
+        return out._replace(reward=out.reward * scale)
 
     return dataclasses.replace(env, step_fn=step_fn)
 
 
 def time_limit(env: EnvDef, max_steps: int) -> EnvDef:
-    """Terminate after ``max_steps`` steps.  Appends a step counter to the
-    state vector (state_dim + 1); obs_dim is unchanged."""
+    """Truncate after ``max_steps`` steps.  Appends a step counter to the
+    state vector (state_dim + 1); obs_dim is unchanged.
+
+    Horizon expiry is reported via ``StepOut.truncated`` (gymnasium's
+    second flag), NOT folded into ``done`` — termination stays the inner
+    env's verdict, so value bootstrapping and the compat adapter can
+    distinguish the two.  Auto-reset (``EnvDef.autoreset_step*``) resets
+    on ``done | truncated`` via :func:`~reinmav_tpu.envs.core.episode_boundary`.
+    """
     inner_step = env.step_fn
     inner_reset = env.reset_fn
 
@@ -55,9 +62,12 @@ def time_limit(env: EnvDef, max_steps: int) -> EnvDef:
         count = state[-1]
         out = inner_step(params, state[:-1], action)
         count = count + 1.0
-        done = out.done | (count >= max_steps)
+        expired = count >= max_steps
+        truncated = expired & ~out.done
+        if out.truncated is not None:  # compose with an inner truncator
+            truncated = truncated | out.truncated
         new_state = jnp.concatenate([out.state, count[None].astype(out.state.dtype)])
-        return StepOut(new_state, out.obs, out.reward, done)
+        return StepOut(new_state, out.obs, out.reward, out.done, truncated)
 
     def reset_fn(params, key):
         s = inner_reset(params, key)

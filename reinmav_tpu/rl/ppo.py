@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..envs.core import EnvDef, StepOut
+from ..envs.core import EnvDef, StepOut, episode_boundary
 from . import networks
 
 
@@ -168,6 +168,10 @@ def collect_rollout(env: EnvDef, cfg: PpoConfig, params, obs_norm, ret_norm,
         norm_obs = _normalize(obs, obs_norm) if cfg.normalize_obs else obs
         action, log_prob, value = networks.sample_action(params, norm_obs, k_act)
         out = env.autoreset_step(states, action, k_reset)
+        # Episode boundary = terminated | truncated (time_limit-wrapped
+        # envs): baselines' VecEnv semantics treat both as `done` for GAE
+        # masking and return-scale resets.
+        done = episode_boundary(out)
 
         reward = out.reward
         if cfg.normalize_rewards:  # static at trace time
@@ -178,10 +182,10 @@ def collect_rollout(env: EnvDef, cfg: PpoConfig, params, obs_norm, ret_norm,
                 rmom.count + ret.shape[0],
             )
             reward = jnp.clip(reward / jnp.sqrt(ret_norm.var + 1e-8), -10.0, 10.0)
-            ret = ret * (1.0 - out.done.astype(ret.dtype))
+            ret = ret * (1.0 - done.astype(ret.dtype))
         raw_rew_sum = raw_rew_sum + out.reward.sum()
 
-        trans = Transition(norm_obs, action, log_prob, value, reward, out.done)
+        trans = Transition(norm_obs, action, log_prob, value, reward, done)
         return (out.state, ret, k, omom, rmom, raw_rew_sum), trans
 
     dtype = env_states.dtype

@@ -114,8 +114,12 @@ def train(args) -> ppo.TrainState:
         if (update // k) % args.log_interval == 0 or update >= num_updates:
             # Interval rate (not cumulative): the first interval absorbs
             # the multi-minute XLA compile and would dominate a running
-            # average for hundreds of updates.
-            jax.block_until_ready(state.params)
+            # average for hundreds of updates.  Timing-honesty rule
+            # (CLAUDE.md / bench.py): force a device->host transfer of a
+            # scalar that depends on the update — on the tunnelled TPU
+            # runtime block_until_ready returns before execution completes
+            # and would inflate steps_per_sec.
+            float(np.asarray(state.update_step))
             now = time.perf_counter()
             sps = steps_per_update * (update - last_update) / max(now - last_t, 1e-9)
             last_t, last_update = now, update

@@ -85,4 +85,49 @@ def test_adapter_params_and_wrappers():
     obs, _ = e.reset(seed=0)
     for i in range(3):
         obs, r, term, trunc, _ = e.step(np.zeros(4, np.float32))
-    assert term  # time limit after 3 steps (or env done earlier)
+    # Horizon expiry is TRUNCATION, not termination (gymnasium semantics).
+    assert trunc or term  # term only if the env died before the limit
+
+
+def test_truncation_vs_termination_semantics():
+    """VERDICT #6: a time-limited env must report ``truncated=True,
+    terminated=False`` at the horizon (correct bootstrapping for external
+    RL libraries), and termination must stay the inner env's verdict."""
+    import functools
+
+    import jax
+
+    from reinmav_tpu.envs import wrappers
+
+    e = gym_env.GymAdapter(
+        "quadrotor3d-v0",
+        wrappers=[functools.partial(wrappers.time_limit, max_steps=4)],
+    )
+    # Start from a benign state near the hover target: the env cannot
+    # terminate on its own within 4 zero-action steps.
+    benign = np.zeros(10, np.float32)
+    benign[3] = 1.0  # identity quaternion
+    benign[2] = 0.5
+    e.reset(options={"state": np.concatenate([benign, [0.0]])})
+    for i in range(4):
+        obs, r, term, trunc, _ = e.step(e.control())
+        if i < 3:
+            assert not term and not trunc
+    assert trunc and not term
+
+    # Conversely: a state that terminates immediately reports term, not trunc.
+    far = np.zeros(10, np.float32)
+    far[3] = 1.0
+    far[0] = 2.9
+    far[7] = 50.0  # velocity blows past vel_limit in one step
+    e.reset(options={"state": np.concatenate([far, [0.0]])})
+    obs, r, term, trunc, _ = e.step(np.zeros(4, np.float32))
+    assert term and not trunc
+
+    # Batched engine: autoreset resets on the truncation boundary too.
+    env = e.env
+    states = np.tile(np.concatenate([benign, [3.0]]), (8, 1)).astype(np.float32)
+    out = env.autoreset_step(states, np.zeros((8, 4), np.float32), jax.random.PRNGKey(0))
+    assert bool(out.truncated.all()) and not bool(out.done.any())
+    # states were re-drawn (counter column reset to 0)
+    assert np.asarray(out.state)[:, -1].max() == 0.0

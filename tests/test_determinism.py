@@ -72,7 +72,10 @@ def test_wrappers():
     for i in range(5):
         out = limited.step(sl, np.zeros(4, np.float32))
         sl = out.state
-    assert bool(out.done)
+    # Horizon expiry surfaces as truncation (gymnasium semantics), with
+    # termination left to the inner env.
+    assert bool(out.truncated) or bool(out.done)
+    assert bool(out.truncated) != bool(out.done)
 
     scaled = wrappers.scale_reward(env, 0.5)
     out_s = scaled.step(s, np.zeros(4, np.float32))

@@ -229,3 +229,32 @@ def test_policy_rollout_full_state_contract():
 
     final3, traj3 = rollout(env, controller_policy(env), states, key, 20, auto_reset=False)
     np.testing.assert_allclose(np.asarray(final3), np.asarray(final2), rtol=1e-12)
+
+
+def test_pallas_backend_refuses_wrapped_or_custom_envs():
+    """ADVICE r1: the fused Pallas kernels bake in the module step/control/
+    reset fns and default params — a wrapped env (same name+params) or a
+    custom-params env must be refused loudly, never silently run with
+    default physics."""
+    import pytest
+
+    from reinmav_tpu.envs import core, quadrotor3d, wrappers
+
+    key = jax.random.PRNGKey(0)
+    states = reinmav_tpu.make("quadrotor3d-v0").vreset(jax.random.split(key, 4096))
+
+    wrapped = wrappers.scale_reward(reinmav_tpu.make("quadrotor3d-v0"), 2.0)
+    with pytest.raises(ValueError, match="wrapped or replaced"):
+        core.throughput_rollout(wrapped, states, key, 4, backend="pallas")
+
+    custom = quadrotor3d.make(quadrotor3d.Params(ref_z=5.0))
+    with pytest.raises(ValueError, match="non-default params"):
+        core.throughput_rollout(custom, states, key, 4, backend="pallas")
+
+    other = reinmav_tpu.make("quadrotor2d-v0")
+    s2 = other.vreset(jax.random.split(key, 4096))
+    with pytest.raises(ValueError, match="no fused kernel"):
+        core.throughput_rollout(other, s2, key, 4, backend="pallas")
+
+    # auto must fall back to scan for all of these (no raise)
+    core.throughput_rollout(wrapped, states[:64], key, 2, backend="auto")

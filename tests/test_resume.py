@@ -39,6 +39,24 @@ def test_bitwise_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_restore_structure_mismatch_is_clear(tmp_path):
+    """VERDICT #9: restoring into a config with different hidden/num_envs
+    must raise a clear CheckpointStructureError, not an opaque orbax one."""
+    import pytest
+
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = ppo.PpoConfig(num_envs=32, rollout_len=8, hidden=(16, 16))
+    state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ck")
+    ckpt.save(path, state)
+
+    # Different network width AND different env count.
+    other_cfg = ppo.PpoConfig(num_envs=64, rollout_len=8, hidden=(32, 32))
+    other = ppo.init_train_state(env, other_cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ckpt.CheckpointStructureError):
+        ckpt.restore(path, other)
+
+
 def test_gif_export(tmp_path):
     import os
 
