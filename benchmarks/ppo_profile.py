@@ -40,10 +40,14 @@ def main():
     ap.add_argument("--envs", type=int, default=8192)
     ap.add_argument("--len", type=int, default=128)
     ap.add_argument("--env_id", default="quadrotor3d-v0")
+    ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args()
 
     env = reinmav_tpu.make(args.env_id)
-    cfg = ppo.PpoConfig(num_envs=args.envs, rollout_len=args.len)
+    cfg = ppo.PpoConfig(
+        num_envs=args.envs, rollout_len=args.len,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+    )
     n = cfg.num_envs * cfg.rollout_len
     key = jax.random.PRNGKey(0)
     state = ppo.init_train_state(env, cfg, key)
@@ -61,9 +65,10 @@ def main():
     t = timeit(rollout_only, state)
     print(f"rollout_only       {t*1e3:8.2f} ms   {n/t/1e6:8.1f} M steps/s")
 
-    # --- full-batch fwd+bwd (1 pass over all samples) ---
-    obs = jax.random.normal(jax.random.PRNGKey(1), (n, env.obs_dim), jnp.float32)
-    act = jax.random.normal(jax.random.PRNGKey(2), (n, env.action_dim), jnp.float32)
+    # --- full-batch fwd+bwd (1 pass over all samples), transposed ---
+    cd = None if cfg.compute_dtype == "float32" else jnp.bfloat16
+    obs = jax.random.normal(jax.random.PRNGKey(1), (env.obs_dim, n), jnp.float32)
+    act = jax.random.normal(jax.random.PRNGKey(2), (env.action_dim, n), jnp.float32)
     batch = ppo.Transition(obs, act, jnp.zeros(n), jnp.zeros(n), jnp.zeros(n),
                            jnp.zeros(n, bool))
     adv = jnp.ones(n)
@@ -72,7 +77,7 @@ def main():
     @jax.jit
     def fwd_bwd(params):
         (_, m), grads = jax.value_and_grad(ppo.ppo_loss, has_aux=True)(
-            params, cfg, batch, adv, ret
+            params, cfg, batch, adv, ret, cd
         )
         return jax.tree.leaves(grads)[0].sum()
 
@@ -82,7 +87,7 @@ def main():
     # --- fwd only (policy inference cost shape) ---
     @jax.jit
     def fwd(params):
-        mean, log_std, value = networks.apply(params, obs)
+        mean, log_std, value = networks.apply_t(params, obs, cd)
         return mean.sum() + value.sum()
 
     t = timeit(fwd, state.params)

@@ -47,6 +47,17 @@ class PpoConfig(NamedTuple):
     normalize_obs: bool = True
     normalize_rewards: bool = True
     normalize_advantages: bool = True
+    # "bfloat16" casts the policy/value matmul INPUTS (activations +
+    # weights); accumulation, nonlinearities and the distribution math
+    # stay float32.  Master params and optimiser state stay float32.
+    compute_dtype: str = "float32"
+    # Minibatch shuffle granularity (samples per shuffled block).  The
+    # flattened sample axis is env-major (adjacent samples = different
+    # i.i.d. envs at one timestep), so block-granular shuffling is
+    # statistically equivalent to ppo2's element shuffle while replacing
+    # a 1M-element random gather with a lane-aligned tile gather.
+    # Auto-halved until it divides the batch; 1 = exact element shuffle.
+    shuffle_tile: int = 128
 
 
 class ObsNorm(NamedTuple):
@@ -79,6 +90,12 @@ class TrainState(NamedTuple):
 
 
 class Transition(NamedTuple):
+    """One (batched) policy transition in TRANSPOSED layout: ``obs`` and
+    ``action`` carry the feature axis first — (D|A, *batch) per step,
+    (T, D|A, *batch) stacked, (D|A, n) flattened — scalars are
+    (*batch)/(T, *batch)/(n,).  See CLAUDE.md: batch-minor arrays are
+    lane-dense on TPU; a (n, 13) float32 array would pad 13 -> 128."""
+
     obs: jnp.ndarray
     action: jnp.ndarray
     log_prob: jnp.ndarray
@@ -89,6 +106,14 @@ class Transition(NamedTuple):
 
 def _normalize(obs, norm: ObsNorm):
     return jnp.clip((obs - norm.mean) / jnp.sqrt(norm.var + 1e-8), -10.0, 10.0)
+
+
+def _normalize_t(obs_t, norm: ObsNorm):
+    """Transposed normalisation: ``obs_t`` is (D, *batch)."""
+    shape = norm.mean.shape + (1,) * (obs_t.ndim - 1)
+    mean = norm.mean.reshape(shape)
+    std = jnp.sqrt(norm.var + 1e-8).reshape(shape)
+    return jnp.clip((obs_t - mean) / std, -10.0, 10.0)
 
 
 def _update_obs_norm(norm: ObsNorm, moments) -> ObsNorm:
@@ -144,30 +169,49 @@ class RawObsMoments(NamedTuple):
 
 
 def collect_rollout(env: EnvDef, cfg: PpoConfig, params, obs_norm, ret_norm,
-                    env_states, env_returns, key):
+                    env_states, env_returns, key, dense8: bool | None = None):
     """T-step batched rollout under the current policy as a lax.scan.
 
+    TPU layout: the scan carries states in transposed ``(D, *batch)``
+    form — ``(D, B)``, or the sublane-dense ``(D, 8, B/8)`` view when
+    ``dense8`` (default on for ``B % 8 == 0``; pass ``False`` for
+    mesh-sharded batches, where the (8, B/8) reshape would cross shard
+    boundaries).  Policy inference runs on the fused transposed MLP
+    (:func:`networks.sample_action_t`) directly on the carry layout — no
+    per-step transposes anywhere.
+
     Returns (final_states, env_returns, key, traj, obs_moments,
-    ret_moments): ``traj.obs`` holds the *normalised* observations the
-    policy consumed and ``traj.reward`` the *scaled* rewards (what the
-    learner needs); the moment accumulators stream RAW statistics for the
-    running-normalisation updates.  ``env_returns`` carries the per-env
-    discounted return across rollouts (reset to 0 at episode ends), used
-    as the reward scale — baselines' VecNormalize semantics."""
+    ret_moments, raw_reward_mean): ``final_states`` is (B, D) row layout;
+    ``traj`` fields keep the transposed batch shape — ``obs``/``action``
+    are (T, D|A, *batch), scalars are (T, *batch).  ``traj.obs`` holds
+    the *normalised* observations the policy consumed and ``traj.reward``
+    the *scaled* rewards (what the learner needs); the moment
+    accumulators stream RAW statistics for the running-normalisation
+    updates.  ``env_returns`` carries the per-env discounted return
+    across rollouts (reset to 0 at episode ends), used as the reward
+    scale — baselines' VecNormalize semantics."""
+    batch = env_states.shape[0]
+    if dense8 is None:
+        dense8 = batch % 8 == 0
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    red_axes = (1, 2) if dense8 else (1,)
 
     def body(carry, _):
-        states, ret, k, omom, rmom, raw_rew_sum = carry
+        states_t, ret, k, omom, rmom, raw_rew_sum = carry
         k, k_act, k_reset = jax.random.split(k, 3)
-        obs = states[:, : env.obs_dim]
+        obs_t = states_t[: env.obs_dim]
         if cfg.normalize_obs:  # static at trace time
             omom = RawObsMoments(
-                omom.total + obs.sum(axis=0),
-                omom.total_sq + jnp.square(obs).sum(axis=0),
-                omom.count + obs.shape[0],
+                omom.total + obs_t.sum(axis=red_axes),
+                omom.total_sq + jnp.square(obs_t).sum(axis=red_axes),
+                omom.count + batch,
             )
-        norm_obs = _normalize(obs, obs_norm) if cfg.normalize_obs else obs
-        action, log_prob, value = networks.sample_action(params, norm_obs, k_act)
-        out = env.autoreset_step(states, action, k_reset)
+        norm_obs = _normalize_t(obs_t, obs_norm) if cfg.normalize_obs else obs_t
+        action, log_prob, value = networks.sample_action_t(params, norm_obs, k_act, cd)
+        if dense8:
+            out = env.autoreset_step_t8(states_t, action, k_reset)
+        else:
+            out = env.autoreset_step_t(states_t, action, k_reset)
         # Episode boundary = terminated | truncated (time_limit-wrapped
         # envs): baselines' VecEnv semantics treat both as `done` for GAE
         # masking and return-scale resets.
@@ -179,7 +223,7 @@ def collect_rollout(env: EnvDef, cfg: PpoConfig, params, obs_norm, ret_norm,
             rmom = RawObsMoments(
                 rmom.total + ret.sum(),
                 rmom.total_sq + jnp.square(ret).sum(),
-                rmom.count + ret.shape[0],
+                rmom.count + batch,
             )
             reward = jnp.clip(reward / jnp.sqrt(ret_norm.var + 1e-8), -10.0, 10.0)
             ret = ret * (1.0 - done.astype(ret.dtype))
@@ -196,15 +240,22 @@ def collect_rollout(env: EnvDef, cfg: PpoConfig, params, obs_norm, ret_norm,
     rmom0 = RawObsMoments(
         jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)
     )
-    (final_states, env_returns, key, obs_moments, ret_moments, raw_rew_sum), traj = (
+    init_t = env_states.T
+    ret0 = env_returns
+    if dense8:
+        init_t = init_t.reshape(env.state_dim, 8, batch // 8)
+        ret0 = ret0.reshape(8, batch // 8)
+    (final_t, env_returns, key, obs_moments, ret_moments, raw_rew_sum), traj = (
         jax.lax.scan(
             body,
-            (env_states, env_returns, key, omom0, rmom0, jnp.asarray(0.0, dtype)),
+            (init_t, ret0, key, omom0, rmom0, jnp.asarray(0.0, dtype)),
             None,
             length=cfg.rollout_len,
         )
     )
-    raw_reward_mean = raw_rew_sum / (cfg.rollout_len * env_states.shape[0])
+    final_states = final_t.reshape(env.state_dim, batch).T
+    env_returns = env_returns.reshape(batch)
+    raw_reward_mean = raw_rew_sum / (cfg.rollout_len * batch)
     return final_states, env_returns, key, traj, obs_moments, ret_moments, raw_reward_mean
 
 
@@ -239,9 +290,12 @@ def compute_gae(cfg: PpoConfig, traj: Transition, last_value):
     return advantages, returns
 
 
-def ppo_loss(params, cfg: PpoConfig, batch, advantages, returns):
-    mean, log_std, value = networks.apply(params, batch.obs)
-    log_prob = networks.gaussian_log_prob(mean, log_std, batch.action)
+def ppo_loss(params, cfg: PpoConfig, batch, advantages, returns,
+             compute_dtype=None):
+    """Clipped-surrogate PPO loss on a TRANSPOSED minibatch:
+    ``batch.obs``/``batch.action`` are (D|A, n); scalars are (n,)."""
+    mean, log_std, value = networks.apply_t(params, batch.obs, compute_dtype)
+    log_prob = networks.gaussian_log_prob_t(mean, log_std, batch.action)
     ratio = jnp.exp(log_prob - batch.log_prob)
 
     pg1 = ratio * advantages
@@ -266,70 +320,116 @@ def ppo_loss(params, cfg: PpoConfig, batch, advantages, returns):
     return total, metrics
 
 
-def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState):
+def _shuffle_indices(k_perm, n: int):
+    """Random permutation of [0, n).  For power-of-two n (the usual
+    case), a composed mul-odd/add/xor bijection mod 2^k is an exact
+    permutation and avoids jax.random.permutation's full sort — which
+    costs ~250 ms per MILLION elements on TPU and dominated the whole
+    update phase before this change."""
+    if n & (n - 1) == 0 and n > 1:
+        ks = jax.random.split(k_perm, 5)
+        mask = jnp.uint32(n - 1)
+        a1 = jax.random.randint(ks[0], (), 0, n // 2, jnp.uint32) * 2 + 1
+        b1 = jax.random.randint(ks[1], (), 0, n, jnp.uint32)
+        a2 = jax.random.randint(ks[2], (), 0, n // 2, jnp.uint32) * 2 + 1
+        b2 = jax.random.randint(ks[3], (), 0, n, jnp.uint32)
+        m = jax.random.randint(ks[4], (), 0, n, jnp.uint32)
+        i = jnp.arange(n, dtype=jnp.uint32)
+        # Compose bijections mod 2^k (mul-by-odd, add, xor): a single
+        # affine map would make every minibatch one arithmetic
+        # progression; the xor round breaks that structure.
+        j = ((i * a1 + b1) & mask) ^ m
+        return (j * a2 + b2) & mask
+    return jax.random.permutation(k_perm, n)
+
+
+def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
+               dense8: bool | None = None):
     """One PPO update: rollout → GAE → epochs × minibatches of SGD.
     Pure function of TrainState; jit (optionally with the env-state batch
-    sharded over a mesh) at the call site or via :func:`make_train_step`."""
+    sharded over a mesh) at the call site or via :func:`make_train_step`.
+
+    ``dense8``: rollout in the sublane-dense (D, 8, B/8) view (single
+    device only — :func:`make_train_step` sets it from the mesh)."""
     optimizer = make_optimizer(cfg)
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
     env_states, env_returns, key, traj, obs_moments, ret_moments, raw_reward_mean = collect_rollout(
         env, cfg, state.params, state.obs_norm, state.ret_norm,
-        state.env_states, state.env_returns, state.key,
+        state.env_states, state.env_returns, state.key, dense8=dense8,
     )
-    last_obs = env_states[:, : env.obs_dim]
-    last_norm = _normalize(last_obs, state.obs_norm) if cfg.normalize_obs else last_obs
-    _, _, last_value = networks.apply(state.params, last_norm)
-    advantages, returns = compute_gae(cfg, traj, last_value)
+    last_obs_t = env_states.T[: env.obs_dim]
+    last_norm = (
+        _normalize_t(last_obs_t, state.obs_norm) if cfg.normalize_obs else last_obs_t
+    )
+    _, _, last_value = networks.apply_t(state.params, last_norm, cd)
+    # traj scalars are (T, *batch_shape); shape last_value to match.
+    batch_shape = traj.value.shape[1:]
+    advantages, returns = compute_gae(cfg, traj, last_value.reshape(batch_shape))
 
-    # Flatten (T, B) → (N,) and run shuffled minibatch epochs.
+    # Flatten to the transposed sample axis: vectors (D, n), scalars (n,).
+    # Sample order is env-major (t*B + b) in both, so adjacent samples are
+    # i.i.d. envs at the same timestep — the basis for tile shuffling.
     n = cfg.rollout_len * cfg.num_envs
-    flat = jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), traj)
-    flat_adv = advantages.reshape(n)
-    flat_ret = returns.reshape(n)
 
-    def shuffle_indices(k_perm):
-        """Random permutation of [0, n).  For power-of-two n (the usual
-        case: rollout_len * num_envs), a multiplicative-congruential
-        shuffle ``i -> (a*i + b) mod n`` with odd ``a`` is an exact
-        permutation and avoids jax.random.permutation's full sort — which
-        costs ~250 ms per MILLION elements on TPU and dominated the whole
-        update phase before this change."""
-        if n & (n - 1) == 0:
-            ks = jax.random.split(k_perm, 5)
-            mask = jnp.uint32(n - 1)
-            a1 = jax.random.randint(ks[0], (), 0, n // 2, jnp.uint32) * 2 + 1
-            b1 = jax.random.randint(ks[1], (), 0, n, jnp.uint32)
-            a2 = jax.random.randint(ks[2], (), 0, n // 2, jnp.uint32) * 2 + 1
-            b2 = jax.random.randint(ks[3], (), 0, n, jnp.uint32)
-            m = jax.random.randint(ks[4], (), 0, n, jnp.uint32)
-            i = jnp.arange(n, dtype=jnp.uint32)
-            # Compose bijections mod 2^k (mul-by-odd, add, xor): a single
-            # affine map would make every minibatch one arithmetic
-            # progression; the xor round breaks that structure.
-            j = ((i * a1 + b1) & mask) ^ m
-            return (j * a2 + b2) & mask
-        return jax.random.permutation(k_perm, n)
+    def flat_d(x):  # (T, D, *bs) -> (D, n)
+        return jnp.moveaxis(x, 1, 0).reshape(x.shape[1], n)
+
+    def flat_s(x):  # (T, *bs) -> (n,)
+        return x.reshape(n)
+
+    flat = Transition(
+        flat_d(traj.obs), flat_d(traj.action), flat_s(traj.log_prob),
+        flat_s(traj.value), flat_s(traj.reward), flat_s(traj.done),
+    )
+    flat_adv = flat_s(advantages)
+    flat_ret = flat_s(returns)
+
+    # Tile-granular shuffle: permute lane-aligned blocks of samples, not
+    # elements (see PpoConfig.shuffle_tile).  Auto-halved until the tile
+    # divides the batch AND each minibatch draws from >= 64 tiles (coarse
+    # tiles at small scale make minibatches a handful of whole timesteps,
+    # which measurably hurts learning).
+    tile = max(1, cfg.shuffle_tile)
+    while tile > 1 and (
+        n % (cfg.num_minibatches * tile) != 0
+        or n // tile < 64 * cfg.num_minibatches
+    ):
+        tile //= 2
+    n_tiles = n // tile
+    mb_size = n // cfg.num_minibatches
+
+    def take_d(x, tidx):  # (D, n) -> (D, mb)
+        xt = x.reshape(x.shape[0], n_tiles, tile)
+        return xt[:, tidx].reshape(x.shape[0], mb_size)
+
+    def take_s(x, tidx):  # (n,) -> (mb,)
+        return x.reshape(n_tiles, tile)[tidx].reshape(mb_size)
 
     def epoch(carry, _):
         params, opt_state, k = carry
         k, k_perm = jax.random.split(k)
-        perm = shuffle_indices(k_perm)
+        perm = _shuffle_indices(k_perm, n_tiles)
 
-        def minibatch(carry_in, idx):
+        def minibatch(carry_in, tidx):
             params_, opt_state_ = carry_in
-            mb = jax.tree.map(lambda x: x[idx], flat)
-            adv = flat_adv[idx]
+            mb = Transition(
+                take_d(flat.obs, tidx), take_d(flat.action, tidx),
+                take_s(flat.log_prob, tidx), take_s(flat.value, tidx),
+                take_s(flat.reward, tidx), take_s(flat.done, tidx),
+            )
+            adv = take_s(flat_adv, tidx)
             if cfg.normalize_advantages:
                 adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
-            ret = flat_ret[idx]
+            ret = take_s(flat_ret, tidx)
             (_, metrics), grads = jax.value_and_grad(ppo_loss, has_aux=True)(
-                params_, cfg, mb, adv, ret
+                params_, cfg, mb, adv, ret, cd
             )
             updates, opt_state_ = optimizer.update(grads, opt_state_, params_)
             params_ = optax.apply_updates(params_, updates)
             return (params_, opt_state_), metrics
 
-        idxs = perm.reshape(cfg.num_minibatches, n // cfg.num_minibatches)
+        idxs = perm.reshape(cfg.num_minibatches, n_tiles // cfg.num_minibatches)
         (params, opt_state), metrics = jax.lax.scan(minibatch, (params, opt_state), idxs)
         return (params, opt_state, k), metrics
 
@@ -359,7 +459,8 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState):
     return new_state, summary
 
 
-def train_many(env: EnvDef, cfg: PpoConfig, state: TrainState, num_updates: int):
+def train_many(env: EnvDef, cfg: PpoConfig, state: TrainState, num_updates: int,
+               dense8: bool | None = None):
     """Run ``num_updates`` PPO updates inside one compiled program
     (``lax.scan`` over :func:`train_step`).
 
@@ -369,55 +470,63 @@ def train_many(env: EnvDef, cfg: PpoConfig, state: TrainState, num_updates: int)
     """
 
     def body(s, _):
-        s, metrics = train_step(env, cfg, s)
+        s, metrics = train_step(env, cfg, s, dense8=dense8)
         return s, metrics
 
-    return jax.lax.scan(body, state, None, length=num_updates)
+    state, stacked = jax.lax.scan(body, state, None, length=num_updates)
+    # Average the per-update metrics INSIDE the compiled program: on a
+    # tunnelled runtime every tiny post-hoc `.mean()` dispatch costs a
+    # round trip (~0.5 s for the full dict, measured) — the driver loop
+    # must only transfer ready scalars.
+    return state, {name: val.mean(axis=0) for name, val in stacked.items()}
+
+
+def state_shardings(mesh) -> TrainState:
+    """The TrainState sharding contract on a mesh: env batch sharded,
+    everything else replicated.  Also the ``out_shardings`` to use when
+    building a *global* TrainState in a multi-process run::
+
+        make_state = jax.jit(partial(ppo.init_train_state, env, cfg),
+                             out_shardings=ppo.state_shardings(mesh))
+    """
+    from ..parallel.mesh import batch_sharding, replicated
+
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    return TrainState(
+        params=rep, opt_state=rep, env_states=bs,
+        obs_norm=ObsNorm(rep, rep, rep), ret_norm=RetNorm(rep, rep),
+        env_returns=bs, key=rep, update_step=rep,
+    )
 
 
 def make_train_many(env: EnvDef, cfg: PpoConfig, num_updates: int, mesh=None):
     """Jitted multi-update train function (see :func:`make_train_step` for
     the sharding contract)."""
-    fn = partial(train_many, env, cfg, num_updates=num_updates)
+    fn = partial(train_many, env, cfg, num_updates=num_updates,
+                 dense8=(None if mesh is None else False))
     if mesh is None:
         return jax.jit(fn)
 
-    from ..parallel.mesh import batch_sharding, replicated
+    from ..parallel.mesh import replicated
 
-    bs = batch_sharding(mesh)
+    ss = state_shardings(mesh)
     rep = replicated(mesh)
-    state_shardings = TrainState(
-        params=rep, opt_state=rep, env_states=bs,
-        obs_norm=ObsNorm(rep, rep, rep), ret_norm=RetNorm(rep, rep),
-        env_returns=bs, key=rep, update_step=rep,
-    )
-    return jax.jit(fn, in_shardings=(state_shardings,),
-                   out_shardings=(state_shardings, rep))
+    return jax.jit(fn, in_shardings=(ss,), out_shardings=(ss, rep))
 
 
 def make_train_step(env: EnvDef, cfg: PpoConfig, mesh=None):
     """Jitted train step; when ``mesh`` is given, the env-state batch is
     sharded over it and params/optimizer are replicated — XLA then emits
-    the gradient all-reduce over ICI (the MPI-allreduce replacement)."""
-    step = partial(train_step, env, cfg)
+    the gradient all-reduce over ICI (the MPI-allreduce replacement).
+    The sublane-dense rollout view is disabled on a mesh (its (8, B/8)
+    reshape crosses shard boundaries)."""
+    step = partial(train_step, env, cfg, dense8=(None if mesh is None else False))
     if mesh is None:
         return jax.jit(step)
 
-    from ..parallel.mesh import batch_sharding, replicated
+    from ..parallel.mesh import replicated
 
-    bs = batch_sharding(mesh)
+    ss = state_shardings(mesh)
     rep = replicated(mesh)
-    in_shardings = (
-        TrainState(
-            params=rep,
-            opt_state=rep,
-            env_states=bs,
-            obs_norm=ObsNorm(rep, rep, rep),
-            ret_norm=RetNorm(rep, rep),
-            env_returns=bs,
-            key=rep,
-            update_step=rep,
-        ),
-    )
-    out_shardings = (in_shardings[0], rep)
-    return jax.jit(step, in_shardings=in_shardings, out_shardings=out_shardings)
+    return jax.jit(step, in_shardings=(ss,), out_shardings=(ss, rep))

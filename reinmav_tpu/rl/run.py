@@ -109,8 +109,7 @@ def train(args) -> ppo.TrainState:
     while update < num_updates:
         state, metrics = step_fn(state)
         update += k
-        if k > 1:  # stacked metrics from the fused updates: report means
-            metrics = {name: val.mean() for name, val in metrics.items()}
+        # (train_many already averages its stacked metrics in-jit.)
         if (update // k) % args.log_interval == 0 or update >= num_updates:
             # Interval rate (not cumulative): the first interval absorbs
             # the multi-minute XLA compile and would dominate a running
@@ -123,11 +122,14 @@ def train(args) -> ppo.TrainState:
             now = time.perf_counter()
             sps = steps_per_update * (update - last_update) / max(now - last_t, 1e-9)
             last_t, last_update = now, update
+            # One bulk device->host fetch (per-scalar float() would pay a
+            # tunnel round trip per metric).
+            host_metrics = jax.device_get(metrics)
             logger.log(
                 update,
                 {"env_steps": steps_per_update * update,
                  "steps_per_sec": round(sps),
-                 **metrics},
+                 **host_metrics},
             )
         if args.eval_interval and (update // k) % args.eval_interval == 0:
             stats = evaluate.evaluate(

@@ -128,5 +128,6 @@ def test_train_many_sharded(mesh):
 
     for a, b in zip(jax.tree.leaves(s_many.params), jax.tree.leaves(s_seq.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8)
-    # stacked metrics have a leading axis of 2
-    assert all(np.asarray(v).shape[0] == 2 for v in metrics.values())
+    # metrics are averaged over the folded updates INSIDE the program
+    # (tunnelled-runtime rule: no post-hoc per-metric dispatches)
+    assert all(np.asarray(v).shape == () for v in metrics.values())
