@@ -50,8 +50,10 @@ from .core import EnvDef, StepOut
 class Params(NamedTuple):
     mass: float = 0.3
     # Diagonal inertia about the CoM, from the XML geoms (computed
-    # analytically from quadrotor_ground.xml's boxes/cylinders).
-    inertia_diag: tuple = (0.00167872, 0.00175781, 0.0033807)
+    # analytically from quadrotor_ground.xml's boxes/cylinders; the
+    # derivation lives in oracle/tpuquad_ref.body_inertia and the values
+    # are pinned to it by tests/test_tpuquad_parity.py).
+    inertia_diag: tuple = (0.0016787227432770446, 0.0017578105900562893, 0.0033807)
     gravity: float = -9.81
     dt: float = 0.01
     frame_skip: int = 2
@@ -62,16 +64,28 @@ class Params(NamedTuple):
     arm_xy: float = 0.1
     yaw_gear: float = 0.1
     ctrl_high: float = 1.0
-    # Compliant ground contact (replaces MuJoCo's LCP solver).
-    contact_stiffness: float = 1000.0
-    contact_damping: float = 10.0
-    contact_friction: float = 2.0
+    # Compliant ground contact (replaces MuJoCo's LCP solver).  Constants
+    # derived from MuJoCo 1.5's DEFAULT contact solver parameters rather
+    # than invented: solref = (timeconst tau=0.02 s, dampratio zeta=1,
+    # i.e. critically damped).  Mapping the constraint-space impedance to
+    # an explicit per-point spring-damper with effective mass
+    # m_eff = mass / n_contact_points = 0.3/5 = 0.06 kg:
+    #   k = m_eff / (tau^2 zeta^2) = 150 N/m
+    #   b = 2 m_eff zeta / tau     = 6  N s/m
+    # Resting penetration = m g / (5 k) ~ 3.9 mm (MuJoCo-typical order).
+    # Friction is Coulomb mu = 1 (the XML floor takes MuJoCo's default
+    # sliding friction, condim=3), regularised below contact_slide_vel.
+    contact_stiffness: float = 150.0
+    contact_damping: float = 6.0
+    contact_friction: float = 1.0  # Coulomb mu
+    contact_slide_vel: float = 0.5  # |v_t| where friction saturates (m/s)
     contact_enabled: bool = True
 
 
 class QuatParams(NamedTuple):
     mass: float = 0.4
-    inertia_diag: tuple = (0.00174122, 0.00189948, 0.00354153)
+    inertia_diag: tuple = (0.0017412227432770442, 0.0018994772567229557,
+                           0.0035415333333333335)
     gravity: float = -9.81
     dt: float = 0.01
     frame_skip: int = 2
@@ -79,9 +93,11 @@ class QuatParams(NamedTuple):
     thrust_high: float = 4.0
     rate_kv: float = 0.1
     rate_ctrl_high: float = 1.0
-    contact_stiffness: float = 1000.0
-    contact_damping: float = 10.0
-    contact_friction: float = 2.0
+    # See Params: solref-derived with m_eff = 0.4/5 = 0.08 kg.
+    contact_stiffness: float = 200.0
+    contact_damping: float = 8.0
+    contact_friction: float = 1.0
+    contact_slide_vel: float = 0.5
     contact_enabled: bool = True
 
 
@@ -116,8 +132,15 @@ def _quat_integrate(quat: jnp.ndarray, omega_body: jnp.ndarray, dt) -> jnp.ndarr
 
 
 def _contact_wrench(p, pos, quat, vel, omega_body, rot):
-    """Compliant plane contact: normal spring-damper + tangential viscous
-    friction at each contact point.  Returns world force and body torque."""
+    """Compliant plane contact: critically-damped normal spring-damper +
+    regularised Coulomb friction at each contact point (constants derived
+    from MuJoCo 1.5's default solref — see :class:`Params`).  Returns
+    world force and body torque.
+
+    Friction: ``f_t = -mu * f_n * v_t / max(|v_t|, v_s)`` — viscous below
+    the regularisation velocity ``v_s``, Coulomb-saturated (|f_t| = mu
+    f_n) above it; smooth at v_t = 0.
+    """
     force_w = jnp.zeros(3, pos.dtype)
     torque_b = jnp.zeros(3, pos.dtype)
     pts = jnp.asarray(_CONTACT_PTS, pos.dtype)
@@ -130,7 +153,9 @@ def _contact_wrench(p, pos, quat, vel, omega_body, rot):
         fn = jnp.maximum(p.contact_stiffness * pen - p.contact_damping * v_w[2], 0.0)
         active = pen > 0.0
         fn = jnp.where(active, fn, 0.0)
-        ft = jnp.where(active, -p.contact_friction * fn * v_w[:2], jnp.zeros(2, pos.dtype))
+        vt = v_w[:2]
+        speed = jnp.sqrt(vt[0] * vt[0] + vt[1] * vt[1])
+        ft = -p.contact_friction * fn * vt / jnp.maximum(speed, p.contact_slide_vel)
         f_w = jnp.concatenate([ft, fn[None]])
         force_w = force_w + f_w
         torque_b = torque_b + jnp.cross(r_b, rot.T @ f_w)
@@ -225,6 +250,7 @@ def _quat_env_step(p: QuatParams, s, a):
             contact_stiffness=p.contact_stiffness,
             contact_damping=p.contact_damping,
             contact_friction=p.contact_friction,
+            contact_slide_vel=p.contact_slide_vel,
             contact_enabled=p.contact_enabled,
         )
         state = _physics_step(fp, state, thrusts, jnp.asarray(0.0, s.dtype), servo_torque, dt)

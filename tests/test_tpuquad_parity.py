@@ -1,0 +1,143 @@
+"""tpuquad family parity vs the independent NumPy float64 oracle
+(VERDICT r1 #2): every registered env ID now has a ground truth.
+
+The oracle (``reinmav_tpu/oracle/tpuquad_ref.py``) re-derives mass/CoM/
+inertia from the reference XML geom tables and implements the rigid-body
+step, exp-map quaternion integration, actuator gears, and the
+solref-derived contact model in independent NumPy code.  These tests pin:
+
+1. the env's hardcoded inertia constants == the geom-derived values;
+2. trajectory parity (free flight AND in-contact) for all three IDs;
+3. hovering reward/done parity including the raw-action reward quirk.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import reinmav_tpu
+from reinmav_tpu.envs import tpuquad
+from reinmav_tpu.oracle import tpuquad_ref as ref
+
+
+def test_inertia_constants_match_geom_derivation():
+    m, com, inertia = ref.body_inertia(ref.GROUND_GEOMS)
+    np.testing.assert_allclose(m, tpuquad.Params().mass, rtol=1e-12)
+    np.testing.assert_allclose(com, [0.0, 0.0, 1.0 / 300.0], atol=1e-12)
+    # Products of inertia vanish by the X-symmetry of the layout.
+    assert np.abs(inertia - np.diag(np.diag(inertia))).max() < 1e-15
+    np.testing.assert_allclose(
+        np.diag(inertia), tpuquad.Params().inertia_diag, rtol=1e-12
+    )
+
+    m2, com2, inertia2 = ref.body_inertia(ref.QUAT_GEOMS)
+    np.testing.assert_allclose(m2, tpuquad.QuatParams().mass, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.diag(inertia2), tpuquad.QuatParams().inertia_diag, rtol=1e-12
+    )
+
+
+def test_contact_constants_match_solref_derivation():
+    p = ref.OracleParams("ground")
+    env_p = tpuquad.Params()
+    np.testing.assert_allclose(p.contact_stiffness, env_p.contact_stiffness, rtol=1e-12)
+    np.testing.assert_allclose(p.contact_damping, env_p.contact_damping, rtol=1e-12)
+    pq = ref.OracleParams("quat")
+    env_q = tpuquad.QuatParams()
+    np.testing.assert_allclose(pq.contact_stiffness, env_q.contact_stiffness, rtol=1e-12)
+    np.testing.assert_allclose(pq.contact_damping, env_q.contact_damping, rtol=1e-12)
+
+
+def _rollout_pair(env_id, oracle_step, steps, action_fn, start):
+    """Step env (f64 on CPU via conftest) and oracle in lockstep from the
+    same state with the same actions; return max state error."""
+    env = reinmav_tpu.make(env_id)
+    s_jax = np.asarray(start, np.float64)
+    s_ref = s_jax.copy()
+    max_err = 0.0
+    rewards = []
+    for t in range(steps):
+        a = action_fn(t)
+        out = env.step(s_jax, a)
+        s_jax = np.asarray(out.state)
+        s_ref, _, r_ref, d_ref = oracle_step(s_ref, a)
+        max_err = max(max_err, np.abs(s_jax - s_ref).max())
+        rewards.append((float(out.reward), r_ref, bool(out.done), d_ref))
+        np.testing.assert_allclose(s_jax, s_ref, rtol=1e-9, atol=1e-11,
+                                   err_msg=f"{env_id} diverged at step {t}")
+    return max_err, rewards
+
+
+HOVER_START = np.array([0.05, -0.04, 1.1, 0.995, 0.06, -0.05, 0.03,
+                        0.1, -0.05, 0.02, 0.2, -0.1, 0.15])
+GROUND_START = np.array([0.02, 0.01, 0.005, 1.0, 0.0, 0.0, 0.0,
+                        0.0, 0.0, -0.1, 0.3, -0.2, 0.1])
+
+
+def test_force_v0_parity_with_ground_contact():
+    """Free body dropped onto the plane: contact forces active."""
+    rng = np.random.default_rng(0)
+    acts = rng.uniform(0.0, 0.6, (120, 4))
+    err, _ = _rollout_pair(
+        "MujocoQuadForce-v0",
+        lambda s, a: ref.step_force(s, a, hovering=False),
+        120, lambda t: acts[t], GROUND_START,
+    )
+    assert err < 1e-9
+
+
+def test_force_v1_parity_and_reward():
+    rng = np.random.default_rng(1)
+    # Out-of-range actions exercise the clip (dynamics) vs raw (reward)
+    # split, the reference quirk (mujoco_quad_hovering.py:48-53).
+    acts = rng.uniform(-0.3, 1.4, (150, 4))
+    env = reinmav_tpu.make("MujocoQuadForce-v1")
+    s_jax = HOVER_START.copy()
+    s_ref = HOVER_START.copy()
+    for t in range(150):
+        out = env.step(s_jax, acts[t])
+        s_ref, _, r_ref, d_ref = ref.step_force(s_ref, acts[t], hovering=True)
+        np.testing.assert_allclose(np.asarray(out.state), s_ref, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(float(out.reward), r_ref, rtol=1e-9)
+        assert bool(out.done) == d_ref
+        s_jax = np.asarray(out.state)
+        if d_ref:
+            break
+
+
+def test_quat_v0_parity():
+    rng = np.random.default_rng(2)
+    acts = np.column_stack([
+        rng.uniform(0.0, 4.0, 150),
+        rng.uniform(-1.0, 1.0, (150, 3)),
+    ])
+    err, _ = _rollout_pair(
+        "MujocoQuadQuat-v0", ref.step_quat, 150, lambda t: acts[t], HOVER_START,
+    )
+    assert err < 1e-9
+
+
+def test_resting_penetration_matches_static_analysis():
+    """The solref-derived stiffness predicts the resting penetration:
+    flat quad => 4 rotor discs + core point share the weight.  Verifies
+    the contact regime is as specified, not just 'doesn't fall through'."""
+    env = reinmav_tpu.make("MujocoQuadForce-v0")
+    s = np.asarray(env.reset(jax.random.PRNGKey(0)), np.float64)
+    for _ in range(600):
+        s = np.asarray(env.step(s, np.zeros(4)).state)
+    p = tpuquad.Params()
+    # Rotor discs rest at body z=0.0075, core at -0.025: the core carries
+    # the load first.  Static equilibrium: sum fn = m g.  With the body
+    # settled (steady z, tiny velocity):
+    assert abs(s[9]) < 1e-3 and abs(s[7]) < 1e-4 and abs(s[8]) < 1e-4
+    weight = p.mass * 9.81
+    pen_core = -(s[2] - 0.025)  # core point height below plane
+    fn_total = 0.0
+    for (px, py, pz) in [(0.1, 0.1, 0.0075), (0.1, -0.1, 0.0075),
+                          (-0.1, -0.1, 0.0075), (-0.1, 0.1, 0.0075),
+                          (0.0, 0.0, -0.025)]:
+        pen = -(s[2] + pz)
+        if pen > 0:
+            fn_total += p.contact_stiffness * pen
+    np.testing.assert_allclose(fn_total, weight, rtol=0.05)
+    assert 0 < pen_core < 0.05  # settled within bounded penetration
