@@ -30,22 +30,53 @@ import numpy as np
 from .mesh import BATCH_AXIS, batch_sharding
 
 
+_initialized = False
+
+
 def init(coordinator_address: Optional[str] = None,
          num_processes: Optional[int] = None,
          process_id: Optional[int] = None) -> None:
-    """Initialise the multi-host runtime.  Safe no-op when single-process
-    (TPU pods auto-detect all arguments from the environment)."""
-    if num_processes == 1:
+    """Initialise the multi-host runtime.
+
+    Two modes:
+
+    * **Explicit** (any argument given): this process was deliberately
+      launched as part of a multi-process run — initialisation failures
+      are real misconfigurations and RAISE (a silently-degraded pod run
+      would train on 1/N of the data while looking healthy).
+    * **Auto-detect** (no arguments): TPU pod environments carry the
+      coordinator/process metadata; if none is found this is a plain
+      single-process run and ``init`` is a no-op.  Any other failure
+      still raises.
+
+    Idempotent: repeated calls after a successful initialise are no-ops.
+    """
+    global _initialized
+    if _initialized:
         return
-    try:
+    explicit = any(
+        v is not None for v in (coordinator_address, num_processes, process_id)
+    )
+    if explicit and num_processes == 1:
+        return  # deliberate single-process run
+    if explicit:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
-        )
-    except (ValueError, RuntimeError):
-        # Already initialised, or single-process without TPU metadata.
-        pass
+        )  # raises on misconfiguration — do NOT swallow
+        _initialized = True
+        return
+    try:
+        jax.distributed.initialize()
+        _initialized = True
+    except ValueError as e:
+        # jax raises ValueError("coordinator_address should be defined")
+        # when no cluster environment is detected — the single-process
+        # case.  Anything else propagates.
+        if "coordinator_address" in str(e):
+            return
+        raise
 
 
 def is_main() -> bool:

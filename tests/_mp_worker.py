@@ -1,0 +1,92 @@
+"""Worker for tests/test_multiprocess.py — one JAX process of a real
+2-process CPU cluster.
+
+Run: python tests/_mp_worker.py <coordinator> <num_procs> <pid> <outdir>
+
+Exercises the genuine multi-process path (VERDICT r1 #3):
+``distributed.init`` with explicit coordinator args, a mesh spanning both
+processes' devices, ``host_local_batch_size`` + ``global_batch_array``
+for per-host data assembly, a globally-initialised TrainState
+(``jit`` + ``ppo.state_shardings`` out-shardings), and one sharded PPO
+train step whose gradient all-reduce crosses the process boundary.
+Writes a params checksum; the parent asserts both processes agree.
+"""
+
+import hashlib
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # axon plugin overrides the env var
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from functools import partial  # noqa: E402
+
+import reinmav_tpu  # noqa: E402
+from reinmav_tpu.parallel import distributed  # noqa: E402
+from reinmav_tpu.parallel.mesh import make_mesh  # noqa: E402
+from reinmav_tpu.rl import ppo  # noqa: E402
+
+
+def main():
+    coordinator, num_procs, pid, outdir = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+    distributed.init(coordinator_address=coordinator,
+                     num_processes=num_procs, process_id=pid)
+    assert jax.process_count() == num_procs, jax.process_count()
+    assert jax.process_index() == pid
+    n_dev = len(jax.devices())
+    assert n_dev == 2 * num_procs, f"expected 4 global devices, got {n_dev}"
+
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = ppo.PpoConfig(num_envs=32, rollout_len=4, num_epochs=1,
+                        num_minibatches=2, hidden=(8, 8))
+    mesh = make_mesh()
+
+    # Global TrainState: every process runs the same jitted initialiser;
+    # out_shardings makes the result a global array pytree.
+    make_state = jax.jit(
+        partial(ppo.init_train_state, env, cfg),
+        out_shardings=ppo.state_shardings(mesh),
+    )
+    state = make_state(jax.random.PRNGKey(7))
+
+    # Per-host data assembly: each process contributes its local slice of
+    # the global env-state batch (the mpirun-replacement data path).
+    local_b = distributed.host_local_batch_size(cfg.num_envs)
+    assert local_b == cfg.num_envs // num_procs
+    local_keys = jax.random.split(jax.random.PRNGKey(3), cfg.num_envs)[
+        pid * local_b:(pid + 1) * local_b
+    ]
+    local_states = np.stack([np.asarray(env.reset(k)) for k in local_keys])
+    global_states = distributed.global_batch_array(mesh, local_states)
+    assert global_states.shape == (cfg.num_envs, env.state_dim)
+    state = state._replace(env_states=global_states.astype(state.env_states.dtype))
+
+    step = ppo.make_train_step(env, cfg, mesh)
+    state, metrics = step(state)
+    assert int(jax.device_get(state.update_step)) == 1
+
+    # Replicated params must be identical on every process after the
+    # cross-process gradient all-reduce.
+    flat = np.concatenate([
+        np.asarray(jax.device_get(leaf)).ravel()
+        for leaf in jax.tree.leaves(state.params)
+    ])
+    assert np.isfinite(flat).all()
+    digest = hashlib.sha256(flat.tobytes()).hexdigest()
+    with open(os.path.join(outdir, f"proc{pid}.txt"), "w") as f:
+        f.write(digest + "\n")
+        f.write(f"{float(jax.device_get(metrics['v_loss'])):.9e}\n")
+    print(f"proc {pid} OK {digest[:12]}")
+
+
+if __name__ == "__main__":
+    main()

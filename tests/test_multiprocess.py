@@ -1,0 +1,108 @@
+"""Real multi-process execution test (VERDICT r1 #3).
+
+Launches TWO separate JAX CPU processes (2 virtual devices each) that
+form a genuine 2-process/4-device cluster via
+``jax.distributed.initialize``, assemble per-host data with
+``distributed.global_batch_array``, and run one mesh-sharded PPO train
+step — the gradient all-reduce crosses the process boundary.  This is
+the mode ``parallel/distributed.py`` exists for; the in-process
+8-virtual-device tests cannot exercise it.
+
+Also pins ``distributed.init``'s new failure contract: explicit
+misconfiguration raises instead of silently degrading to single-process.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_sharded_ppo_step(tmp_path):
+    port = _free_port()
+    coordinator = f"localhost:{port}"
+    worker = os.path.join(_REPO, "tests", "_mp_worker.py")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # Fresh processes must not inherit the test process's platform pins.
+    env.pop("JAX_PLATFORMS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(pid), str(tmp_path)],
+            env=env, cwd=_REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+
+    digests = []
+    for pid in range(2):
+        with open(tmp_path / f"proc{pid}.txt") as f:
+            digests.append(f.read().splitlines())
+    # Same replicated params (the all-reduce worked) and same metrics.
+    assert digests[0][0] == digests[1][0]
+    assert digests[0][1] == digests[1][1]
+
+
+def test_init_explicit_misconfiguration_raises():
+    """A deliberately-wrong explicit config must raise, not silently run
+    single-process (the round-1 `except: pass` failure mode).  Runs in a
+    subprocess because jax.distributed state is process-global."""
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys; sys.path.insert(0, %r)\n"
+        "from reinmav_tpu.parallel import distributed\n"
+        "try:\n"
+        "    distributed.init(coordinator_address='localhost:1',\n"
+        "                     num_processes=2, process_id=5)\n"
+        "except Exception as e:\n"
+        "    print('RAISED', type(e).__name__)\n"
+        "else:\n"
+        "    print('SILENT')\n"
+    ) % _REPO
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=_REPO,
+        capture_output=True, text=True, timeout=120,
+    )
+    assert "RAISED" in out.stdout, out.stdout + out.stderr
+
+
+def test_init_autodetect_is_noop_off_cluster():
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys; sys.path.insert(0, %r)\n"
+        "from reinmav_tpu.parallel import distributed\n"
+        "distributed.init()\n"
+        "print('NOOP_OK', jax.process_count())\n"
+    ) % _REPO
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=_REPO,
+        capture_output=True, text=True, timeout=120,
+    )
+    assert "NOOP_OK 1" in out.stdout, out.stdout + out.stderr
