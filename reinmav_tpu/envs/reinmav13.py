@@ -164,6 +164,11 @@ def step(p: Params, s: jnp.ndarray, a: jnp.ndarray | None = None) -> StepOut:
     ds = jnp.asarray(p.ds, s.dtype)
 
     # Exact replica of len(np.arange(t, t+dt, ds)) in the working dtype.
+    # dtype caveat: the 50/51 fluctuation is pure float rounding, so the
+    # pattern depends on the carry dtype — f64 matches the reference
+    # bit-for-bit (188×51 over the 400-step horizon); f32 production
+    # drifts (14×51, ≤1e-2 closed-loop position impact).  Characterised
+    # and pinned by tests/test_reinmav_f32_substeps.py.
     n_sub = jnp.ceil(((t + dt) - t) / ds).astype(jnp.int32)
 
     def substep(k, s13_):
