@@ -59,6 +59,110 @@ def apply(params, obs: jnp.ndarray):
     return mean, params["log_std"], value
 
 
+# -- fused transposed path -------------------------------------------------
+# TPU hot-loop convention (CLAUDE.md): activations batch-minor.  A row
+# (N, 13) f32 array lane-pads 13 -> 128 (~10x HBM waste) and yields
+# K=13-wide matmuls; transposed (13, N) is dense and MXU-native.  The pi
+# and vf towers are additionally fused into ONE stack of width 2H
+# (concat first layer, block-diagonal hidden layers, block head): for
+# H=64 every matmul is exactly 128 wide — MXU tile width — and the
+# matmul count halves.  Gradients flow through the concat/pad exactly,
+# so the parameter pytree (and checkpoints) stay identical to the
+# unfused path.
+
+
+def _block_diag2(a, b):
+    """[[a, 0], [0, b]] for 2-D blocks."""
+    za = jnp.zeros((a.shape[0], b.shape[1]), a.dtype)
+    zb = jnp.zeros((b.shape[0], a.shape[1]), b.dtype)
+    return jnp.concatenate(
+        [jnp.concatenate([a, za], axis=1), jnp.concatenate([zb, b], axis=1)], axis=0
+    )
+
+
+def fused_weights(params):
+    """Fuse pi/vf tower params into single wide layers.
+
+    Returns ``(layers, w_out, b_out)`` where ``layers`` is a list of
+    ``(w, b)`` with ``w`` of shape (in, 2H) for layer 0 and (2H, 2H)
+    block-diagonal after; ``w_out`` is (2H, A+1) mapping the last hidden
+    to ``[action_mean..., value]``.
+    """
+    pi, vf = params["pi"], params["vf"]
+    layers = [
+        (
+            jnp.concatenate([pi[0]["w"], vf[0]["w"]], axis=1),
+            jnp.concatenate([pi[0]["b"], vf[0]["b"]]),
+        )
+    ]
+    for lp, lv in zip(pi[1:], vf[1:]):
+        layers.append(
+            (_block_diag2(lp["w"], lv["w"]), jnp.concatenate([lp["b"], lv["b"]]))
+        )
+    w_out = _block_diag2(params["pi_out"]["w"], params["vf_out"]["w"])
+    b_out = jnp.concatenate([params["pi_out"]["b"], params["vf_out"]["b"]])
+    return layers, w_out, b_out
+
+
+def apply_t(params, obs_t, compute_dtype=None):
+    """Transposed fused forward: ``obs_t`` is (obs_dim, *batch) —
+    typically (D, B) or sublane-dense (D, 8, B/8).  Returns
+    ``(mean_t, log_std, value)`` with ``mean_t`` (action_dim, *batch) and
+    ``value`` (*batch).
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) casts matmul inputs; the
+    accumulation and nonlinearity stay float32.
+    """
+    layers, w_out, b_out = fused_weights(params)
+    x = obs_t
+    cd = compute_dtype
+
+    def mm(w, x):
+        if cd is not None:
+            # bf16 (or other reduced) inputs, float32 accumulation.
+            return jax.lax.dot_general(
+                w.astype(cd), x.astype(cd), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        # Full precision: let promotion follow the inputs (f64 under x64).
+        return jax.lax.dot_general(w, x, (((0,), (0,)), ((), ())))
+
+    for w, b in layers:
+        pre = mm(w, x) + b.reshape(b.shape + (1,) * (x.ndim - 1))
+        # Under reduced precision keep the STORED activation (tanh output,
+        # which autodiff saves for the backward pass) in the compute
+        # dtype: hidden tensors are the HBM-bandwidth cost of the update
+        # phase — (2H, n) per layer — and bf16 halves it.
+        x = jnp.tanh(pre.astype(cd)) if cd is not None else jnp.tanh(pre)
+    out = mm(w_out, x) + b_out.reshape(b_out.shape + (1,) * (x.ndim - 1))
+    mean = out[:-1]
+    value = out[-1]
+    return mean, params["log_std"], value
+
+
+def sample_action_t(params, obs_t, key, compute_dtype=None):
+    """Transposed diagonal-Gaussian sample → (action_t, log_prob, value)
+    with ``action_t`` (A, *batch), ``log_prob``/``value`` (*batch)."""
+    mean, log_std, value = apply_t(params, obs_t, compute_dtype)
+    std = jnp.exp(log_std).reshape(log_std.shape + (1,) * (mean.ndim - 1))
+    noise = jax.random.normal(key, mean.shape, jnp.float32)
+    action = mean + std * noise
+    logp = gaussian_log_prob_t(mean, log_std, action)
+    return action, logp, value
+
+
+def gaussian_log_prob_t(mean_t, log_std, action_t):
+    """Log-prob with the action axis LEADING (axis 0)."""
+    shape = log_std.shape + (1,) * (mean_t.ndim - 1)
+    var = jnp.exp(2.0 * log_std).reshape(shape)
+    return jnp.sum(
+        -0.5 * jnp.square(action_t - mean_t) / var
+        - log_std.reshape(shape)
+        - 0.5 * jnp.log(2.0 * jnp.pi),
+        axis=0,
+    )
+
+
 def sample_action(params, obs, key):
     """Diagonal-Gaussian sample → (action, log_prob, value)."""
     mean, log_std, value = apply(params, obs)

@@ -272,17 +272,21 @@ def _update_ret_norm(norm: RetNorm, moments) -> RetNorm:
 def compute_gae(cfg: PpoConfig, traj: Transition, last_value):
     """GAE(λ) with done-masked bootstrapping, reverse scan."""
 
+    # Accumulate in the promoted dtype (under x64 tests the rewards are
+    # f64 while bf16-mode values are f32 — the carry must be stable).
+    acc_dtype = jnp.result_type(traj.value.dtype, traj.reward.dtype)
+
     def body(carry, inp):
         gae, next_value = carry
         value, reward, done = inp
-        not_done = 1.0 - done.astype(value.dtype)
+        not_done = 1.0 - done.astype(acc_dtype)
         delta = reward + cfg.gamma * next_value * not_done - value
         gae = delta + cfg.gamma * cfg.gae_lambda * not_done * gae
-        return (gae, value), gae
+        return (gae, value.astype(acc_dtype)), gae
 
     (_, _), advantages = jax.lax.scan(
         body,
-        (jnp.zeros_like(last_value), last_value),
+        (jnp.zeros_like(last_value, acc_dtype), last_value.astype(acc_dtype)),
         (traj.value, traj.reward, traj.done),
         reverse=True,
     )

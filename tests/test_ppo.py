@@ -171,3 +171,23 @@ def test_a2c_mode_trains():
 
     state = run_mod.train(args)
     assert int(state.update_step) >= 1
+
+
+def test_bfloat16_compute_dtype_trains():
+    """Mixed precision (bf16 matmuls + stored activations, f32 masters/
+    accumulation) must run and produce metrics close to f32 — it is the
+    bench configuration (39.4M vs 27.5M env-steps/s on v5e)."""
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    common = dict(num_envs=64, rollout_len=16, num_epochs=2, num_minibatches=2,
+                  hidden=(32, 32))
+    s32 = ppo.init_train_state(env, ppo.PpoConfig(**common), jax.random.PRNGKey(0))
+    f32_step = ppo.make_train_step(env, ppo.PpoConfig(**common))
+    bf_step = ppo.make_train_step(env, ppo.PpoConfig(**common, compute_dtype="bfloat16"))
+    a, ma = f32_step(s32)
+    b, mb = bf_step(s32)
+    # Same trajectory statistics modulo bf16 rounding: per-metric closeness.
+    assert abs(float(ma["v_loss"]) - float(mb["v_loss"])) < 0.2 * (1 + abs(float(ma["v_loss"])))
+    for s in (a, b):
+        for leaf in jax.tree.leaves(s.params):
+            assert np.isfinite(np.asarray(leaf)).all()
+            assert np.asarray(leaf).dtype == np.float32  # masters stay f32
