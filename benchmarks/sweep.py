@@ -72,8 +72,36 @@ def bench_env(env_id: str, batch: int, horizon: int) -> dict:
         times.append(time.perf_counter() - t0)
         assert np.isfinite(r), env_id
     sps = batch * horizon / min(times)
-    return {"env": env_id, "batch": batch, "horizon": horizon,
-            "env_steps_per_sec": round(sps)}
+    row = {"env": env_id, "batch": batch, "horizon": horizon,
+           "env_steps_per_sec": round(sps)}
+
+    # Fused-Pallas backend where a kernel exists (TPU only).
+    if jax.devices()[0].platform == "tpu":
+        from reinmav_tpu.envs.core import throughput_rollout
+
+        try:
+            @jax.jit
+            def run_pallas_jit(states, key):
+                f, rs = throughput_rollout(env, states, key, horizon,
+                                           backend="pallas")
+                # Reduce ON DEVICE: a (B, D) host transfer over the
+                # tunnelled runtime costs ~0.1 s and poisons the timing.
+                return rs.sum() + f.sum()
+
+            def run_pallas(i):
+                return float(run_pallas_jit(states, jax.random.fold_in(key, i)))
+
+            run_pallas(99)  # compile + sync
+            ptimes = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                r = run_pallas(i)
+                ptimes.append(time.perf_counter() - t0)
+                assert np.isfinite(r), env_id
+            row["pallas_env_steps_per_sec"] = round(batch * horizon / min(ptimes))
+        except ValueError as e:  # no kernel for this env — scan only
+            pass
+    return row
 
 
 def main():

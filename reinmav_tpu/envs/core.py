@@ -357,16 +357,47 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
                 and env.control_fn is mod.control
                 and env.reset_fn is mod.reset
             )
+            default_params = mod.Params()
         elif env.name == "reinmav-v0":
             from . import reinmav13 as mod
             from ..ops import pallas_reinmav as ops
 
             fns_ok = env.step_fn is mod.step and env.reset_fn is mod.reset
+            default_params = mod.Params()
+        elif env.name == "quadrotor3d-slungload-v0":
+            from . import quadrotor3d_slungload as mod
+            from ..ops import pallas_slungload as ops
+
+            fns_ok = (
+                env.step_fn is mod.step
+                and env.control_fn is mod.control
+                and env.reset_fn is mod.reset
+            )
+            default_params = mod.Params()
+        elif env.name == "quadrotor2d-slungload-v0":
+            from . import quadrotor2d_slungload as mod
+            from ..ops import pallas_slungload as ops
+
+            fns_ok = (
+                env.step_fn is mod.step
+                and env.control_fn is mod.control
+                and env.reset_fn is mod.reset
+            )
+            default_params = mod.Params()
+        elif env.name == "MujocoQuadForce-v1":
+            from . import tpuquad as mod
+            from ..ops import pallas_tpuquad as ops
+
+            fns_ok = (
+                env.step_fn is mod.hovering_step
+                and env.reset_fn is mod.hovering_reset
+            )
+            default_params = mod.Params(init_z=1.0)
         else:
             return f"no fused kernel for {env.name}"
         if not fns_ok:
             return "env step/control/reset fns are wrapped or replaced"
-        if env.params != mod.Params():
+        if env.params != default_params:
             return "non-default params (kernel bakes in defaults)"
         if not ops.available():
             return "pallas unavailable on this platform"
@@ -374,12 +405,16 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
             return f"batch % 4096 != 0 (got {init_states.shape[0]})"
         return None
 
+    _PALLAS_NAMES = (
+        "quadrotor3d-v0", "reinmav-v0", "quadrotor3d-slungload-v0",
+        "quadrotor2d-slungload-v0", "MujocoQuadForce-v1",
+    )
     if backend == "auto":
         backend = "scan"
         if (
             jax.devices()[0].platform == "tpu"
             and single_device
-            and env.name in ("quadrotor3d-v0", "reinmav-v0")
+            and env.name in _PALLAS_NAMES
             and pallas_mismatch() is None
         ):
             backend = "pallas"
@@ -400,6 +435,30 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
             # the rollout (see CLAUDE.md benchmark-honesty note).
             anchor = 0.0 * final_t[0]
             reward_sum = 90.0 * horizon + anchor
+            return final_t.T, reward_sum
+        if env.name == "MujocoQuadForce-v1":
+            from ..ops import pallas_tpuquad
+
+            # Zero-action stepping with deterministic auto-reset — the
+            # same semantics as the scan fallback (_zero_action_rollout).
+            final_t, reward_sum = pallas_tpuquad.hover_rollout_pallas8(
+                init_states.T.astype(jnp.float32), horizon,
+                tile8=min(256, init_states.shape[0] // 8),
+            )
+            return final_t.T, reward_sum
+        if env.name.endswith("slungload-v0"):
+            from ..ops import pallas_slungload
+
+            kern = (
+                pallas_slungload.slung3d_rollout_pallas8
+                if "3d" in env.name
+                else pallas_slungload.slung2d_rollout_pallas8
+            )
+            seed = jax.random.randint(key, (), 0, 2**31 - 1)
+            final_t, reward_sum = kern(
+                init_states.T.astype(jnp.float32), seed, horizon,
+                tile8=min(256, init_states.shape[0] // 8),
+            )
             return final_t.T, reward_sum
         from ..ops import pallas_rollout
 

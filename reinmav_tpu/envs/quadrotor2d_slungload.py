@@ -122,6 +122,10 @@ def control(p: Params, s: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([thrust, w])
 
 
+#: Module-level reset (identity-checked by the fused-Pallas dispatch).
+reset = uniform_reset(9)
+
+
 def make(params: Params | None = None) -> EnvDef:
     return EnvDef(
         name="quadrotor2d-slungload-v0",
@@ -130,6 +134,6 @@ def make(params: Params | None = None) -> EnvDef:
         obs_dim=9,
         params=params or Params(),
         step_fn=step,
-        reset_fn=uniform_reset(9),
+        reset_fn=reset,
         control_fn=control,
     )

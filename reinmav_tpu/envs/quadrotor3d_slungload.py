@@ -125,6 +125,10 @@ def control(p: Params, s: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([thrust[None], w])
 
 
+#: Module-level reset (identity-checked by the fused-Pallas dispatch).
+reset = uniform_reset(16)
+
+
 def make(params: Params | None = None) -> EnvDef:
     return EnvDef(
         name="quadrotor3d-slungload-v0",
@@ -133,6 +137,6 @@ def make(params: Params | None = None) -> EnvDef:
         obs_dim=16,
         params=params or Params(),
         step_fn=step,
-        reset_fn=uniform_reset(16),
+        reset_fn=reset,
         control_fn=control,
     )

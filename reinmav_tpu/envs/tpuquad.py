@@ -268,6 +268,22 @@ def _deterministic_reset(init_z: float):
     return reset_fn
 
 
+# Module-level step/reset identities (the fused-Pallas dispatch in
+# ``core.throughput_rollout`` verifies these exact objects to refuse
+# wrapped/customised envs).
+def force_step(params, s, a):
+    return _force_env_step(params, s, a, hovering=False)
+
+
+def hovering_step(params, s, a):
+    return _force_env_step(params, s, a, hovering=True)
+
+
+force_reset = _deterministic_reset(0.0)
+hovering_reset = _deterministic_reset(1.0)
+quat_reset = _deterministic_reset(0.0)
+
+
 def make_force_ground(params: Params | None = None) -> EnvDef:
     p = params or Params(init_z=0.0)
     return EnvDef(
@@ -276,8 +292,8 @@ def make_force_ground(params: Params | None = None) -> EnvDef:
         action_dim=4,
         obs_dim=13,
         params=p,
-        step_fn=lambda params, s, a: _force_env_step(params, s, a, hovering=False),
-        reset_fn=_deterministic_reset(p.init_z),
+        step_fn=force_step,
+        reset_fn=force_reset if p.init_z == 0.0 else _deterministic_reset(p.init_z),
         action_low=0.0,
         action_high=1.0,
     )
@@ -291,8 +307,8 @@ def make_hovering(params: Params | None = None) -> EnvDef:
         action_dim=4,
         obs_dim=13,
         params=p,
-        step_fn=lambda params, s, a: _force_env_step(params, s, a, hovering=True),
-        reset_fn=_deterministic_reset(p.init_z),
+        step_fn=hovering_step,
+        reset_fn=hovering_reset if p.init_z == 1.0 else _deterministic_reset(p.init_z),
         action_low=0.0,
         action_high=1.0,
     )

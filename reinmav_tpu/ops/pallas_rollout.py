@@ -213,15 +213,20 @@ def _rollout_autoreset_kernel8(horizon, seed_ref, s_ref, out_ref, rew_ref):
     rew_ref[:, :] = rew
 
 
-def _closed_loop_step_tiles(comp):
-    """The closed-loop step on a list of 10 (8, bt) component tiles.
-    Identical math to :func:`_closed_loop_step` (which operates on (1, bt)
-    rows); returns (list of 10 tiles, reward tile)."""
-    px, py, pz, qw, qx, qy, qz, vx, vy, vz = comp
+def tilt_controller_tiles(px, py, pz, qw, qx, qy, qz, vx, vy, vz,
+                          ref_z=_REF_Z, kp=_KP, kv=_KV, tau=_TAU, gz=_GZ):
+    """Geometric/tilt controller on component tiles (any tile shape):
+    desired-accel PD → Gram-Schmidt frame → pyquaternion `_from_matrix`
+    branch select → quaternion-error rate command
+    (``envs/quadrotor3d.py:control``, reference ``quadrotor3d.py:126-180``).
 
-    ax = _KP * px + _KV * vx
-    ay = _KP * py + _KV * vy
-    az = _KP * (pz - _REF_Z) + _KV * vz - _GZ
+    Returns ``(thrust, wx_cmd, wy_cmd, wz_cmd, bzx, bzy, bzz, inv_qn)``
+    where ``bz*`` is the body-z of the NORMALISED quat (shared with the
+    dynamics) and ``inv_qn`` is 1/|q|.
+    """
+    ax = kp * px + kv * vx
+    ay = kp * py + kv * vy
+    az = kp * (pz - ref_z) + kv * vz - gz
 
     an = jax.lax.rsqrt(ax * ax + ay * ay + az * az)
     zbx, zby, zbz = ax * an, ay * an, az * an
@@ -260,7 +265,7 @@ def _closed_loop_step_tiles(comp):
     ey = qw * dy + qx * dz - qy * dw - qz * dx
     ez = qw * dz - qx * dy + qy * dx - qz * dw
 
-    k = (2.0 / _TAU) * jnp.sign(ew)
+    k = (2.0 / tau) * jnp.sign(ew)
     wx_cmd, wy_cmd, wz_cmd = k * ex, k * ey, k * ez
 
     qn2 = qw * qw + qx * qx + qy * qy + qz * qz
@@ -271,6 +276,18 @@ def _closed_loop_step_tiles(comp):
     bzz = 1.0 - 2.0 * (qx * qx + qy * qy) * inv_qn2
 
     thrust = ax * bzx + ay * bzy + az * bzz
+    return thrust, wx_cmd, wy_cmd, wz_cmd, bzx, bzy, bzz, inv_qn
+
+
+def _closed_loop_step_tiles(comp):
+    """The closed-loop step on a list of 10 (8, bt) component tiles.
+    Identical math to :func:`_closed_loop_step` (which operates on (1, bt)
+    rows); returns (list of 10 tiles, reward tile)."""
+    px, py, pz, qw, qx, qy, qz, vx, vy, vz = comp
+
+    thrust, wx_cmd, wy_cmd, wz_cmd, bzx, bzy, bzz, inv_qn = tilt_controller_tiles(
+        px, py, pz, qw, qx, qy, qz, vx, vy, vz
+    )
 
     accx = thrust * bzx
     accy = thrust * bzy
