@@ -58,6 +58,10 @@ class PpoConfig(NamedTuple):
     # a 1M-element random gather with a lane-aligned tile gather.
     # Auto-halved until it divides the batch; 1 = exact element shuffle.
     shuffle_tile: int = 128
+    # Fused Pallas loss fwd+bwd kernel (ops/pallas_ppo): "auto" uses it
+    # on TPU for 2-equal-hidden-layer nets, "on" forces (tests/interpret),
+    # "off" keeps the XLA autodiff path.
+    fused_loss: str = "auto"
 
 
 class ObsNorm(NamedTuple):
@@ -347,16 +351,55 @@ def _shuffle_indices(k_perm, n: int):
     return jax.random.permutation(k_perm, n)
 
 
+def _fused_loss_enabled(cfg: PpoConfig) -> bool:
+    """Static dispatch for the Pallas fused loss kernel (never inside
+    jit: checks platform + config shape support)."""
+    if cfg.fused_loss == "off":
+        return False
+    if len(cfg.hidden) != 2 or cfg.hidden[0] != cfg.hidden[1]:
+        return False
+    from ..ops import pallas_ppo
+
+    if not pallas_ppo.available():
+        return False
+    if cfg.fused_loss == "on":
+        return True
+    return jax.devices()[0].platform == "tpu"
+
+
+def _unfuse_grads(g, hidden: int, adim: int):
+    """Slice fused-stack gradients back into the tower param pytree
+    (exact: each tower param IS a block of the fused matrix)."""
+    h = hidden
+    return {
+        "pi": [
+            {"w": g["w1"][:, :h], "b": g["b1"][:h]},
+            {"w": g["w2"][:h, :h], "b": g["b2"][:h]},
+        ],
+        "vf": [
+            {"w": g["w1"][:, h:], "b": g["b1"][h:]},
+            {"w": g["w2"][h:, h:], "b": g["b2"][h:]},
+        ],
+        "pi_out": {"w": g["wo"][:h, :adim], "b": g["bo"][:adim]},
+        "vf_out": {"w": g["wo"][h:, adim:], "b": g["bo"][adim:]},
+        "log_std": g["log_std"],
+    }
+
+
 def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
-               dense8: bool | None = None):
+               dense8: bool | None = None, fused_loss: bool | None = None):
     """One PPO update: rollout → GAE → epochs × minibatches of SGD.
     Pure function of TrainState; jit (optionally with the env-state batch
     sharded over a mesh) at the call site or via :func:`make_train_step`.
 
     ``dense8``: rollout in the sublane-dense (D, 8, B/8) view (single
-    device only — :func:`make_train_step` sets it from the mesh)."""
+    device only — :func:`make_train_step` sets it from the mesh).
+    ``fused_loss``: use the Pallas fused loss-gradient kernel (None =
+    :func:`_fused_loss_enabled`)."""
     optimizer = make_optimizer(cfg)
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    if fused_loss is None:
+        fused_loss = _fused_loss_enabled(cfg)
 
     env_states, env_returns, key, traj, obs_moments, ret_moments, raw_reward_mean = collect_rollout(
         env, cfg, state.params, state.obs_norm, state.ret_norm,
@@ -426,9 +469,27 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
             if cfg.normalize_advantages:
                 adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
             ret = take_s(flat_ret, tidx)
-            (_, metrics), grads = jax.value_and_grad(ppo_loss, has_aux=True)(
-                params_, cfg, mb, adv, ret, cd
-            )
+            if fused_loss:
+                from ..ops import pallas_ppo
+
+                fl, wo_f, bo_f = networks.fused_weights(params_)
+                (w1f, b1f), (w2f, b2f) = fl
+                tile = 1024
+                while mb_size % tile:
+                    tile //= 2
+                g, pmet = pallas_ppo.ppo_loss_grads_pallas(
+                    mb.obs, mb.action, mb.log_prob, mb.value, adv, ret,
+                    w1f, b1f, w2f, b2f, wo_f, bo_f, params_["log_std"],
+                    clip_eps=cfg.clip_eps, value_clip_eps=cfg.value_clip_eps,
+                    value_coef=cfg.value_coef, ent_coef=cfg.entropy_coef,
+                    tile=tile, compute_dtype=cfg.compute_dtype,
+                )
+                grads = _unfuse_grads(g, cfg.hidden[0], env.action_dim)
+                metrics = {**pmet, "entropy": networks.entropy(params_["log_std"])}
+            else:
+                (_, metrics), grads = jax.value_and_grad(ppo_loss, has_aux=True)(
+                    params_, cfg, mb, adv, ret, cd
+                )
             updates, opt_state_ = optimizer.update(grads, opt_state_, params_)
             params_ = optax.apply_updates(params_, updates)
             return (params_, opt_state_), metrics
@@ -464,7 +525,7 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
 
 
 def train_many(env: EnvDef, cfg: PpoConfig, state: TrainState, num_updates: int,
-               dense8: bool | None = None):
+               dense8: bool | None = None, fused_loss: bool | None = None):
     """Run ``num_updates`` PPO updates inside one compiled program
     (``lax.scan`` over :func:`train_step`).
 
@@ -474,7 +535,7 @@ def train_many(env: EnvDef, cfg: PpoConfig, state: TrainState, num_updates: int,
     """
 
     def body(s, _):
-        s, metrics = train_step(env, cfg, s, dense8=dense8)
+        s, metrics = train_step(env, cfg, s, dense8=dense8, fused_loss=fused_loss)
         return s, metrics
 
     state, stacked = jax.lax.scan(body, state, None, length=num_updates)
@@ -508,7 +569,8 @@ def make_train_many(env: EnvDef, cfg: PpoConfig, num_updates: int, mesh=None):
     """Jitted multi-update train function (see :func:`make_train_step` for
     the sharding contract)."""
     fn = partial(train_many, env, cfg, num_updates=num_updates,
-                 dense8=(None if mesh is None else False))
+                 dense8=(None if mesh is None else False),
+                 fused_loss=(None if mesh is None else False))
     if mesh is None:
         return jax.jit(fn)
 
@@ -525,7 +587,11 @@ def make_train_step(env: EnvDef, cfg: PpoConfig, mesh=None):
     the gradient all-reduce over ICI (the MPI-allreduce replacement).
     The sublane-dense rollout view is disabled on a mesh (its (8, B/8)
     reshape crosses shard boundaries)."""
-    step = partial(train_step, env, cfg, dense8=(None if mesh is None else False))
+    # On a mesh both the dense8 view and the fused Pallas loss are
+    # disabled: the (8, B/8) reshape and the pallas_call would cross
+    # shard boundaries (multi-chip keeps the XLA autodiff path).
+    step = partial(train_step, env, cfg, dense8=(None if mesh is None else False),
+                   fused_loss=(None if mesh is None else False))
     if mesh is None:
         return jax.jit(step)
 

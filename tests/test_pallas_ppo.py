@@ -1,0 +1,112 @@
+"""Fused PPO loss-gradient kernel vs jax.value_and_grad(ppo_loss)
+(interpret mode on the CPU test backend, f32)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reinmav_tpu.ops import pallas_ppo
+from reinmav_tpu.rl import networks, ppo
+
+pytestmark = pytest.mark.skipif(
+    not pallas_ppo.available(), reason="pallas unavailable"
+)
+
+
+def _random_batch(key, d, a, n):
+    ks = jax.random.split(key, 7)
+    obs = jax.random.normal(ks[0], (d, n), jnp.float32)
+    act = jax.random.normal(ks[1], (a, n), jnp.float32)
+    old_logp = jax.random.normal(ks[2], (n,), jnp.float32) * 0.3 - 4.0
+    old_value = jax.random.normal(ks[3], (n,), jnp.float32)
+    adv = jax.random.normal(ks[4], (n,), jnp.float32)
+    ret = old_value + jax.random.normal(ks[5], (n,), jnp.float32) * 0.5
+    return obs, act, old_logp, old_value, adv, ret
+
+
+@pytest.mark.parametrize("ent_coef", [0.0, 1e-2])
+def test_fused_loss_grads_match_autodiff(ent_coef):
+    from jax.experimental.pallas import tpu as pltpu
+
+    d, a, n = 10, 4, 512
+    cfgnet = networks.MlpConfig(d, a, hidden=(64, 64))
+    params = networks.init_params(jax.random.PRNGKey(0), cfgnet)
+    # Perturb so log_std and heads are not at init symmetry.
+    params["log_std"] = params["log_std"] + 0.1
+    cfg = ppo.PpoConfig(entropy_coef=ent_coef, normalize_advantages=False)
+
+    obs, act, old_logp, old_value, adv, ret = _random_batch(
+        jax.random.PRNGKey(1), d, a, n
+    )
+    batch = ppo.Transition(obs, act, old_logp, old_value, jnp.zeros(n),
+                           jnp.zeros(n, bool))
+    (loss, metrics), grads = jax.value_and_grad(ppo.ppo_loss, has_aux=True)(
+        params, cfg, batch, adv, ret
+    )
+
+    layers, wo, bo = networks.fused_weights(params)
+    (w1, b1), (w2, b2) = layers
+    with pltpu.force_tpu_interpret_mode():
+        g, m = pallas_ppo.ppo_loss_grads_pallas(
+            obs, act, old_logp, old_value, adv, ret,
+            w1, b1, w2, b2, wo, bo, params["log_std"],
+            clip_eps=cfg.clip_eps, value_clip_eps=cfg.value_clip_eps,
+            value_coef=cfg.value_coef, ent_coef=cfg.entropy_coef,
+            tile=128, compute_dtype="float32",
+        )
+
+    # Metrics agree.
+    for name in ("pg_loss", "v_loss", "approx_kl", "clip_frac"):
+        np.testing.assert_allclose(
+            float(m[name]), float(metrics[name]), rtol=2e-4, atol=1e-6,
+            err_msg=name,
+        )
+
+    def close(x, y, name):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-3, atol=2e-6, err_msg=name)
+
+    # Fused grads sliced back to the tower params must equal autodiff.
+    h = 64
+    close(g["w1"][:, :h], grads["pi"][0]["w"], "pi w1")
+    close(g["w1"][:, h:], grads["vf"][0]["w"], "vf w1")
+    close(g["b1"][:h], grads["pi"][0]["b"], "pi b1")
+    close(g["b1"][h:], grads["vf"][0]["b"], "vf b1")
+    close(g["w2"][:h, :h], grads["pi"][1]["w"], "pi w2")
+    close(g["w2"][h:, h:], grads["vf"][1]["w"], "vf w2")
+    close(g["b2"][:h], grads["pi"][1]["b"], "pi b2")
+    close(g["b2"][h:], grads["vf"][1]["b"], "vf b2")
+    close(g["wo"][:h, :a], grads["pi_out"]["w"], "pi_out w")
+    close(g["wo"][h:, a:], grads["vf_out"]["w"], "vf_out w")
+    close(g["bo"][:a], grads["pi_out"]["b"], "pi_out b")
+    close(g["bo"][a:], grads["vf_out"]["b"], "vf_out b")
+    close(g["log_std"], grads["log_std"], "log_std")
+
+
+def test_train_step_fused_matches_autodiff():
+    """Full train_step with the fused kernel (interpret mode) must match
+    the XLA autodiff path to float tolerance."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import reinmav_tpu
+
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = ppo.PpoConfig(num_envs=32, rollout_len=8, num_epochs=2,
+                        num_minibatches=2, hidden=(64, 64))
+    state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(0))
+
+    s_ref, m_ref = jax.jit(
+        lambda s: ppo.train_step(env, cfg, s, fused_loss=False)
+    )(state)
+    with pltpu.force_tpu_interpret_mode():
+        s_fused, m_fused = jax.jit(
+            lambda s: ppo.train_step(env, cfg, s, fused_loss=True)
+        )(state)
+
+    for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for name in ("pg_loss", "v_loss", "approx_kl", "clip_frac", "entropy"):
+        np.testing.assert_allclose(float(m_fused[name]), float(m_ref[name]),
+                                   rtol=1e-4, atol=1e-6, err_msg=name)
