@@ -110,7 +110,7 @@ def main():
     key = jax.random.PRNGKey(0)
     best = 0.0
     best_cfg = None
-    for batch in (131072,):  # scan fallback datapoint (pallas is the headline)
+    for batch in (131072, 262144):  # scan fallback datapoints (pallas is the headline)
         sps = bench_config(env, batch, horizon=1000, key=key)
         if sps > best:
             best, best_cfg = sps, f"scan-b{batch}"
