@@ -387,7 +387,8 @@ def _unfuse_grads(g, hidden: int, adim: int):
 
 
 def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
-               dense8: bool | None = None, fused_loss: bool | None = None):
+               dense8: bool | None = None, fused_loss: bool | None = None,
+               axis_name: str | None = None):
     """One PPO update: rollout → GAE → epochs × minibatches of SGD.
     Pure function of TrainState; jit (optionally with the env-state batch
     sharded over a mesh) at the call site or via :func:`make_train_step`.
@@ -395,16 +396,42 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
     ``dense8``: rollout in the sublane-dense (D, 8, B/8) view (single
     device only — :func:`make_train_step` sets it from the mesh).
     ``fused_loss``: use the Pallas fused loss-gradient kernel (None =
-    :func:`_fused_loss_enabled`)."""
+    :func:`_fused_loss_enabled`).
+    ``axis_name``: set when running INSIDE ``shard_map`` (see
+    :func:`make_train_step_shardmap`): ``state.env_states`` is the local
+    shard, rollouts draw device-decorrelated streams, normalisation
+    moments are ``psum``-ed, gradients/metrics ``pmean``-ed (the MPI
+    data-parallel recipe), and params stay replicated.  Minibatch
+    partitions and advantage normalisation are per-device, like
+    baselines' PPO2 under mpirun."""
     optimizer = make_optimizer(cfg)
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     if fused_loss is None:
         fused_loss = _fused_loss_enabled(cfg)
 
+    if axis_name is None:
+        rollout_key = state.key
+    else:
+        rollout_key = jax.random.fold_in(
+            state.key, jax.lax.axis_index(axis_name)
+        )
+
     env_states, env_returns, key, traj, obs_moments, ret_moments, raw_reward_mean = collect_rollout(
         env, cfg, state.params, state.obs_norm, state.ret_norm,
-        state.env_states, state.env_returns, state.key, dense8=dense8,
+        state.env_states, state.env_returns, rollout_key, dense8=dense8,
     )
+    if axis_name is not None:
+        # The rollout-advanced key is device-local; keep the carried key
+        # replicated by advancing the master key instead, and make the
+        # normalisation statistics global.
+        key = jax.random.fold_in(state.key, jnp.uint32(0x9E3779B9))
+        obs_moments = jax.tree.map(
+            lambda x: jax.lax.psum(x, axis_name), obs_moments
+        )
+        ret_moments = jax.tree.map(
+            lambda x: jax.lax.psum(x, axis_name), ret_moments
+        )
+        raw_reward_mean = jax.lax.pmean(raw_reward_mean, axis_name)
     last_obs_t = env_states.T[: env.obs_dim]
     last_norm = (
         _normalize_t(last_obs_t, state.obs_norm) if cfg.normalize_obs else last_obs_t
@@ -417,7 +444,9 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
     # Flatten to the transposed sample axis: vectors (D, n), scalars (n,).
     # Sample order is env-major (t*B + b) in both, so adjacent samples are
     # i.i.d. envs at the same timestep — the basis for tile shuffling.
-    n = cfg.rollout_len * cfg.num_envs
+    # Batch from the ARRAY shape, not cfg.num_envs: under shard_map the
+    # state holds only this device's shard.
+    n = cfg.rollout_len * state.env_states.shape[0]
 
     def flat_d(x):  # (T, D, *bs) -> (D, n)
         return jnp.moveaxis(x, 1, 0).reshape(x.shape[1], n)
@@ -474,15 +503,15 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
 
                 fl, wo_f, bo_f = networks.fused_weights(params_)
                 (w1f, b1f), (w2f, b2f) = fl
-                tile = 1024
-                while mb_size % tile:
-                    tile //= 2
+                ktile = 1024
+                while mb_size % ktile:
+                    ktile //= 2
                 g, pmet = pallas_ppo.ppo_loss_grads_pallas(
                     mb.obs, mb.action, mb.log_prob, mb.value, adv, ret,
                     w1f, b1f, w2f, b2f, wo_f, bo_f, params_["log_std"],
                     clip_eps=cfg.clip_eps, value_clip_eps=cfg.value_clip_eps,
                     value_coef=cfg.value_coef, ent_coef=cfg.entropy_coef,
-                    tile=tile, compute_dtype=cfg.compute_dtype,
+                    tile=ktile, compute_dtype=cfg.compute_dtype,
                 )
                 grads = _unfuse_grads(g, cfg.hidden[0], env.action_dim)
                 metrics = {**pmet, "entropy": networks.entropy(params_["log_std"])}
@@ -490,6 +519,12 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
                 (_, metrics), grads = jax.value_and_grad(ppo_loss, has_aux=True)(
                     params_, cfg, mb, adv, ret, cd
                 )
+            if axis_name is not None:
+                # Cross-device gradient average (the MPI allreduce role);
+                # params stay bitwise-replicated because every device
+                # applies the identical averaged update.
+                grads = jax.lax.pmean(grads, axis_name)
+                metrics = jax.lax.pmean(metrics, axis_name)
             updates, opt_state_ = optimizer.update(grads, opt_state_, params_)
             params_ = optax.apply_updates(params_, updates)
             return (params_, opt_state_), metrics
@@ -516,9 +551,12 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
         params, opt_state, env_states, obs_norm, ret_norm, env_returns,
         key, state.update_step + 1,
     )
+    done_frac = jnp.mean(traj.done.astype(jnp.float32))
+    if axis_name is not None:
+        done_frac = jax.lax.pmean(done_frac, axis_name)
     summary = {
         "mean_reward": raw_reward_mean,  # RAW reward (traj.reward is scaled)
-        "mean_episode_done_frac": jnp.mean(traj.done.astype(jnp.float32)),
+        "mean_episode_done_frac": done_frac,
         **{name: jnp.mean(val) for name, val in metrics.items()},
     }
     return new_state, summary
@@ -579,6 +617,53 @@ def make_train_many(env: EnvDef, cfg: PpoConfig, num_updates: int, mesh=None):
     ss = state_shardings(mesh)
     rep = replicated(mesh)
     return jax.jit(fn, in_shardings=(ss,), out_shardings=(ss, rep))
+
+
+def make_train_step_shardmap(env: EnvDef, cfg: PpoConfig, mesh):
+    """Multi-chip train step via ``shard_map`` — the FAST mesh path.
+
+    Unlike :func:`make_train_step`'s jit-sharding mode (which must
+    disable the sublane-dense rollout view and the fused Pallas loss
+    because both are single-device constructs), shard_map makes every
+    array device-local: each chip rolls out its env shard in the
+    (D, 8, B_local/8) view, runs the fused loss kernel on its local
+    minibatches, and only the gradient ``pmean`` crosses ICI.
+
+    Semantics are the MPI data-parallel recipe (baselines PPO2 under
+    mpirun): per-device rollout streams/minibatch partitions/advantage
+    normalisation, globally-averaged gradients and normalisation
+    statistics — NOT bitwise-identical to a single-device run, but the
+    same algorithm at N× the batch.  Requires ``cfg.num_envs`` divisible
+    by the mesh size (and by 8× mesh size for the dense view).
+    """
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import BATCH_AXIS
+
+    n_dev = mesh.devices.size
+    if cfg.num_envs % n_dev != 0:
+        raise ValueError(
+            f"num_envs {cfg.num_envs} not divisible by mesh size {n_dev}"
+        )
+
+    bs = P(BATCH_AXIS)
+    rep = P()
+    state_specs = TrainState(
+        params=rep, opt_state=rep, env_states=bs,
+        obs_norm=ObsNorm(rep, rep, rep), ret_norm=RetNorm(rep, rep),
+        env_returns=bs, key=rep, update_step=rep,
+    )
+    step = partial(train_step, env, cfg, axis_name=BATCH_AXIS)
+    fn = shard_map(
+        step, mesh=mesh, in_specs=(state_specs,),
+        out_specs=(state_specs, rep), check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def make_train_step(env: EnvDef, cfg: PpoConfig, mesh=None):

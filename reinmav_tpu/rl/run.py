@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--play_steps", type=int, default=1000)
     p.add_argument("--gif", default=None, help="write the play rollout as a GIF")
     p.add_argument("--no_mesh", action="store_true", help="disable mesh sharding")
+    p.add_argument("--shard_map", action="store_true",
+                   help="multi-chip FAST path: shard_map train step with "
+                        "per-device dense rollouts + fused loss kernels "
+                        "(MPI-recipe semantics; see ppo.make_train_step_shardmap)")
     return p
 
 
@@ -90,11 +94,17 @@ def train(args) -> ppo.TrainState:
                            value_clip_eps=1e9)
     mesh = None if args.no_mesh else make_mesh()
     k = max(1, args.updates_per_jit)
-    step_fn = (
-        ppo.make_train_step(env, cfg, mesh)
-        if k == 1
-        else ppo.make_train_many(env, cfg, k, mesh)
-    )
+    if args.shard_map and mesh is not None:
+        if k > 1:
+            raise SystemExit("--shard_map currently folds one update per "
+                             "dispatch (drop --updates_per_jit)")
+        step_fn = ppo.make_train_step_shardmap(env, cfg, mesh)
+    else:
+        step_fn = (
+            ppo.make_train_step(env, cfg, mesh)
+            if k == 1
+            else ppo.make_train_many(env, cfg, k, mesh)
+        )
     state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(args.seed))
     if args.load_path:
         state = ckpt.restore(args.load_path, state)

@@ -131,3 +131,37 @@ def test_train_many_sharded(mesh):
     # metrics are averaged over the folded updates INSIDE the program
     # (tunnelled-runtime rule: no post-hoc per-metric dispatches)
     assert all(np.asarray(v).shape == () for v in metrics.values())
+
+
+def test_shardmap_train_step(mesh):
+    """The fast multi-chip path: shard_map train step with per-device
+    dense8 rollouts and pmean'd gradients — params must stay replicated
+    (identical update on every device) and finite across updates."""
+    from reinmav_tpu.parallel.mesh import shard_batch
+    from reinmav_tpu.rl import ppo
+
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = ppo.PpoConfig(num_envs=128, rollout_len=8, num_epochs=2,
+                        num_minibatches=2, hidden=(64, 64))
+    state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(3))
+    state = state._replace(env_states=shard_batch(mesh, state.env_states),
+                           env_returns=shard_batch(mesh, state.env_returns))
+    step = ppo.make_train_step_shardmap(env, cfg, mesh)
+    prev = state.params
+    for _ in range(2):
+        state, metrics = step(state)
+    assert int(state.update_step) == 2
+    assert len(state.env_states.sharding.device_set) == 8
+    moved = False
+    for a, b in zip(jax.tree.leaves(prev), jax.tree.leaves(state.params)):
+        arr = np.asarray(b)
+        assert np.isfinite(arr).all()
+        moved |= bool(np.abs(np.asarray(a) - arr).max() > 0)
+    assert moved
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+    # num_envs must divide the mesh
+    with pytest.raises(ValueError, match="not divisible"):
+        ppo.make_train_step_shardmap(
+            env, ppo.PpoConfig(num_envs=12), mesh
+        )
