@@ -393,6 +393,33 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
                 and env.reset_fn is mod.hovering_reset
             )
             default_params = mod.Params(init_z=1.0)
+        elif env.name == "MujocoQuadForce-v0":
+            from . import tpuquad as mod
+            from ..ops import pallas_tpuquad as ops
+
+            fns_ok = (
+                env.step_fn is mod.force_step and env.reset_fn is mod.force_reset
+            )
+            default_params = mod.Params()
+        elif env.name == "MujocoQuadQuat-v0":
+            from . import tpuquad as mod
+            from ..ops import pallas_tpuquad as ops
+
+            fns_ok = (
+                env.step_fn is mod._quat_env_step
+                and env.reset_fn is mod.quat_reset
+            )
+            default_params = mod.QuatParams()
+        elif env.name == "quadrotor2d-v0":
+            from . import quadrotor2d as mod
+            from ..ops import pallas_rollout as ops
+
+            fns_ok = (
+                env.step_fn is mod.step
+                and env.control_fn is mod.control
+                and env.reset_fn is mod.reset
+            )
+            default_params = mod.Params()
         else:
             return f"no fused kernel for {env.name}"
         if not fns_ok:
@@ -407,7 +434,8 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
 
     _PALLAS_NAMES = (
         "quadrotor3d-v0", "reinmav-v0", "quadrotor3d-slungload-v0",
-        "quadrotor2d-slungload-v0", "MujocoQuadForce-v1",
+        "quadrotor2d-slungload-v0", "quadrotor2d-v0",
+        "MujocoQuadForce-v1", "MujocoQuadForce-v0", "MujocoQuadQuat-v0",
     )
     if backend == "auto":
         backend = "scan"
@@ -444,6 +472,26 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
             final_t, reward_sum = pallas_tpuquad.hover_rollout_pallas8(
                 init_states.T.astype(jnp.float32), horizon,
                 tile8=min(256, init_states.shape[0] // 8),
+            )
+            return final_t.T, reward_sum
+        if env.name in ("MujocoQuadForce-v0", "MujocoQuadQuat-v0"):
+            from ..ops import pallas_tpuquad
+
+            model = "ground" if env.name == "MujocoQuadForce-v0" else "quat"
+            final_t, z_sum = pallas_tpuquad.contact_rollout_pallas8(
+                init_states.T.astype(jnp.float32), horizon, model=model,
+                tile8=min(256, init_states.shape[0] // 8),
+            )
+            # These envs' reward is identically 0 (reference semantics);
+            # anchor on the stepped Σz so XLA cannot DCE the physics.
+            return final_t.T, 0.0 * z_sum
+        if env.name == "quadrotor2d-v0":
+            from ..ops import pallas_rollout
+
+            seed = jax.random.randint(key, (), 0, 2**31 - 1)
+            final_t, reward_sum = pallas_rollout.quad2d_rollout_autoreset_pallas8(
+                init_states.T.astype(jnp.float32), seed, horizon,
+                tile8=min(512, init_states.shape[0] // 8),
             )
             return final_t.T, reward_sum
         if env.name.endswith("slungload-v0"):

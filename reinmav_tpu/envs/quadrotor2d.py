@@ -85,6 +85,10 @@ def control(p: Params, s: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([thrust, w])
 
 
+#: Module-level reset (identity-checked by the fused-Pallas dispatch).
+reset = uniform_reset(5)
+
+
 def make(params: Params | None = None) -> EnvDef:
     return EnvDef(
         name="quadrotor2d-v0",
@@ -93,6 +97,6 @@ def make(params: Params | None = None) -> EnvDef:
         obs_dim=5,
         params=params or Params(),
         step_fn=step,
-        reset_fn=uniform_reset(5),
+        reset_fn=reset,
         control_fn=control,
     )

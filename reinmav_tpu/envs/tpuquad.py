@@ -323,7 +323,7 @@ def make_quat(params: QuatParams | None = None) -> EnvDef:
         obs_dim=13,
         params=p,
         step_fn=_quat_env_step,
-        reset_fn=_deterministic_reset(p.init_z),
+        reset_fn=quat_reset if p.init_z == 0.0 else _deterministic_reset(p.init_z),
         action_low=-1.0,
         action_high=4.0,
     )

@@ -377,6 +377,108 @@ def quad3d_rollout_autoreset_pallas(
     return out, rew[0]
 
 
+# --------------------------------------------------------------------------
+# quadrotor2d-v0 (envs/quadrotor2d.py defaults): 5-state planar quad with
+# its PD+atan2 controller in the loop.
+
+_KP2 = -5.0
+_KV2 = -4.0
+_TAU2 = 0.1
+_POS_LIM2 = 3.0
+_VEL_LIM2 = 2.0
+_THRUST_SCALE = 10.0
+
+
+def _quad2d_step_tiles(comp):
+    """Closed-loop step on 5 component tiles [x, z, theta, vx, vz]."""
+    from .pallas_reinmav import _atan2
+
+    x, z, th, vx, vz = comp
+
+    # Controller (envs/quadrotor2d.py:control): PD accel + atan2 attitude
+    # + first-order rate loop; thrust in Newtons (step applies 10x, Q5).
+    dax = _KP2 * x + _KV2 * vx
+    daz = _KP2 * z + _KV2 * vz + 9.8
+    des_att = _atan2(daz, dax) - jnp.pi / 2
+    w = (-1.0 / _TAU2) * (th - des_att)
+    thrust_n = jnp.sqrt(dax * dax + daz * daz)  # mass = 1
+
+    # Dynamics (envs/quadrotor2d.py:step): 10x gain floored at 0.
+    thrust = jnp.maximum(_THRUST_SCALE * thrust_n, 0.0)
+    hx = jnp.cos(th + jnp.pi / 2)
+    hz = jnp.sin(th + jnp.pi / 2)
+    ax = thrust * hx
+    az = thrust * hz + _GZ
+
+    nx = x + vx * _DT + 0.5 * ax * _DT * _DT  # old velocity (Q3)
+    nz = z + vz * _DT + 0.5 * az * _DT * _DT
+    nvx = vx + ax * _DT
+    nvz = vz + az * _DT
+    nth = th + w * _DT
+
+    pn2 = nx * nx + nz * nz
+    vn2 = nvx * nvx + nvz * nvz
+    done = (pn2 > _POS_LIM2 * _POS_LIM2) | (vn2 > _VEL_LIM2 * _VEL_LIM2)
+    reward = jnp.where(done, 1.0, -jnp.sqrt(pn2))
+    return [nx, nz, nth, nvx, nvz], done, reward
+
+
+def _quad2d_kernel(horizon, autoreset, seed_ref, s_ref, out_ref, rew_ref):
+    if autoreset:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    def rows(s, i):
+        return s[8 * i : 8 * (i + 1)]
+
+    def body(_, carry):
+        s, rew_acc = carry
+        comp, done, reward = _quad2d_step_tiles([rows(s, i) for i in range(5)])
+        stacked = jnp.concatenate(comp, axis=0)
+        if autoreset:
+            draw = _uniform_pm1((40,) + comp[0].shape[1:])
+            stacked = jnp.where(jnp.tile(done, (5, 1)), draw, stacked)
+        return stacked, rew_acc + reward
+
+    s0 = s_ref[:, :]
+    rew0 = jnp.zeros((8,) + s0.shape[1:], s0.dtype)
+    s_final, rew = jax.lax.fori_loop(0, horizon, body, (s0, rew0))
+    out_ref[:, :] = s_final
+    rew_ref[:, :] = rew
+
+
+@functools.partial(jax.jit, static_argnames=("horizon", "tile8", "autoreset"))
+def quad2d_rollout_autoreset_pallas8(states_t, seed, horizon: int,
+                                     tile8: int = 512, autoreset: bool = True):
+    """Fused closed-loop quadrotor2d rollout, sublane-dense.
+
+    ``states_t``: (5, B) float32, B a multiple of ``8 * tile8``.
+    Returns (final_states_t (5, B), reward_sum (B,)).
+    """
+    d, batch = states_t.shape
+    assert d == 5 and batch % (8 * tile8) == 0, (d, batch, tile8)
+    b8 = batch // 8
+    s40 = states_t.reshape(40, b8)
+    grid = (b8 // tile8,)
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    out, rew = pl.pallas_call(
+        functools.partial(_quad2d_kernel, horizon, autoreset),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((40, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((40, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((40, b8), states_t.dtype),
+            jax.ShapeDtypeStruct((8, b8), states_t.dtype),
+        ],
+    )(seed_arr, s40)
+    return out.reshape(5, batch), rew.reshape(batch)
+
+
 @functools.partial(jax.jit, static_argnames=("horizon", "tile8"))
 def quad3d_rollout_autoreset_pallas8(
     states_t: jnp.ndarray, seed, horizon: int, tile8: int = 512

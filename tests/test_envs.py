@@ -251,7 +251,11 @@ def test_pallas_backend_refuses_wrapped_or_custom_envs():
     with pytest.raises(ValueError, match="non-default params"):
         core.throughput_rollout(custom, states, key, 4, backend="pallas")
 
-    other = reinmav_tpu.make("quadrotor2d-v0")
+    # Every registered env now has a fused kernel, so the "no kernel"
+    # refusal needs a foreign EnvDef.
+    import dataclasses
+
+    other = dataclasses.replace(reinmav_tpu.make("quadrotor2d-v0"), name="custom-v9")
     s2 = other.vreset(jax.random.split(key, 4096))
     with pytest.raises(ValueError, match="no fused kernel"):
         core.throughput_rollout(other, s2, key, 4, backend="pallas")

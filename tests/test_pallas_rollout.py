@@ -143,3 +143,30 @@ def test_pallas_inverse_trig_accuracy():
     z = rng_.normal(size=5000).astype(np.float32)
     got = np.asarray(pr._atan2(jnp.asarray(y), jnp.asarray(z)))
     assert np.abs(got - np.arctan2(y, z)).max() < 1e-6
+
+
+def test_quad2d_pallas_matches_scan():
+    """2D closed-loop kernel vs the scan path (contracting dynamics —
+    free-running comparison works)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    env = reinmav_tpu.make("quadrotor2d-v0")
+    key = jax.random.PRNGKey(0)
+    B, T = 256, 50
+    states = (env.vreset(jax.random.split(key, B)) * 0.4).astype(jnp.float32)
+
+    f_scan, traj = jax.jit(
+        lambda s, k: control_rollout(env, s, k, T, auto_reset=False)
+    )(states, key)
+
+    with pltpu.force_tpu_interpret_mode():
+        f_pal, rew = pallas_rollout.quad2d_rollout_autoreset_pallas8(
+            states.T, 0, T, tile8=8, autoreset=False
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(f_pal.T), np.asarray(f_scan), rtol=3e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(rew.sum()), float(traj.reward.sum()), rtol=1e-4
+    )

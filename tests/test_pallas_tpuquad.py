@@ -63,3 +63,59 @@ def test_hover_pallas_matches_scan_through_resets(action):
     # Resets actually happened (zero-action case crashes within the horizon).
     if sum(action) == 0.0:
         assert np.asarray(f_pal.T)[:, 2].max() > 0.3
+
+
+def _scan_zero_action(env, states, horizon):
+    a = jnp.zeros((states.shape[0], 4), jnp.float32)
+
+    def body(carry, _):
+        s, k = carry
+        k, k_reset = jax.random.split(k)
+        out = env.autoreset_step(s, a, k_reset)
+        return (out.state, k), out.obs[:, 2]
+
+    (final, _), zs = jax.lax.scan(
+        body, (states, jax.random.PRNGKey(0)), None, length=horizon
+    )
+    return final, zs.sum(axis=0)
+
+
+@pytest.mark.parametrize("env_id,model", [
+    ("MujocoQuadForce-v0", "ground"),
+    ("MujocoQuadQuat-v0", "quat"),
+])
+def test_contact_kernel_matches_scan(env_id, model):
+    """Ground-riding envs: the kernel's in-kernel compliant contact must
+    reproduce the scan path free-running (deterministic dynamics, zero
+    action, starting ON the plane so contact is active throughout)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from reinmav_tpu.ops import pallas_tpuquad
+
+    env = reinmav_tpu.make(env_id)
+    B, T = 256, 60
+    rng = np.random.default_rng(3)
+    base = np.tile(np.asarray(pallas_tpuquad._INIT0, np.float32), (B, 1))
+    # Perturb attitude/velocity so the contact sees tilted, moving bodies.
+    base[:, 2] += rng.uniform(0.0, 0.05, B)          # slight drop heights
+    base[:, 4:7] += rng.uniform(-0.05, 0.05, (B, 3))  # quat tilt
+    base[:, 7:13] += rng.uniform(-0.2, 0.2, (B, 6))
+    base[:, 3:7] /= np.linalg.norm(base[:, 3:7], axis=1, keepdims=True)
+    states = jnp.asarray(base)
+
+    f_scan, z_scan = jax.jit(lambda s: _scan_zero_action(env, s, T))(states)
+    with pltpu.force_tpu_interpret_mode():
+        f_pal, z_pal = pallas_tpuquad.contact_rollout_pallas8(
+            states.T, T, model=model, tile8=8
+        )
+    # Tolerance note: the contact model has hard thresholds (fn > 0,
+    # max(speed, v_s)) that a couple of lanes straddle under f32
+    # reassociation — observed 2/3328 elements at ~2.5e-3 relative.
+    np.testing.assert_allclose(
+        np.asarray(f_pal.T), np.asarray(f_scan), rtol=5e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_pal), np.asarray(z_scan), rtol=1e-3, atol=1e-3
+    )
+    # Contact genuinely engaged: bodies settled near the plane, not in
+    # freefall (z would be ~ -1.7 after 0.6 s of freefall).
+    assert np.asarray(f_pal.T)[:, 2].min() > -0.1
