@@ -99,8 +99,12 @@ def bench_env(env_id: str, batch: int, horizon: int) -> dict:
                 ptimes.append(time.perf_counter() - t0)
                 assert np.isfinite(r), env_id
             row["pallas_env_steps_per_sec"] = round(batch * horizon / min(ptimes))
-        except ValueError as e:  # no kernel for this env — scan only
-            pass
+        except ValueError as e:
+            # Refused dispatch (wrapped env / batch shape / no kernel):
+            # surface it — a silent hole in results.json would hide a
+            # dispatch regression for a benchmarked env.
+            print(f"# {env_id}: pallas backend skipped: {e}", file=sys.stderr)
+            row["pallas_skipped"] = str(e)
     return row
 
 

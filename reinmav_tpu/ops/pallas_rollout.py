@@ -378,6 +378,70 @@ def quad3d_rollout_autoreset_pallas(
 
 
 # --------------------------------------------------------------------------
+# Generic sublane-dense component-kernel scaffolding, shared by the
+# quadrotor2d kernel below and ops/pallas_slungload: a step_tiles
+# callback (list of ncomp (8, bt) tiles -> (new tiles, done, reward))
+# is lifted to a whole-horizon VMEM-resident rollout with optional
+# U(-1,1)^ncomp auto-reset from the on-core PRNG.
+
+
+def make_component_kernel(step_tiles, ncomp, autoreset):
+    def kernel(horizon, seed_ref, s_ref, out_ref, rew_ref):
+        if autoreset:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+        def rows(s, i):
+            return s[8 * i : 8 * (i + 1)]
+
+        def body(_, carry):
+            s, rew_acc = carry
+            new_comp, done, reward = step_tiles([rows(s, i) for i in range(ncomp)])
+            stacked = jnp.concatenate(new_comp, axis=0)
+            if autoreset:
+                draw = _uniform_pm1((8 * ncomp,) + new_comp[0].shape[1:])
+                stacked = jnp.where(jnp.tile(done, (ncomp, 1)), draw, stacked)
+            return stacked, rew_acc + reward
+
+        s0 = s_ref[:, :]
+        rew0 = jnp.zeros((8,) + s0.shape[1:], s0.dtype)
+        s_final, rew = jax.lax.fori_loop(0, horizon, body, (s0, rew0))
+        out_ref[:, :] = s_final
+        rew_ref[:, :] = rew
+
+    return kernel
+
+
+def component_rollout(step_tiles, ncomp, states_t, seed, horizon, tile8,
+                      autoreset):
+    """Run a component-kernel over (ncomp, B) states; returns
+    (final (ncomp, B), reward_sum (B,))."""
+    d, batch = states_t.shape
+    assert d == ncomp and batch % (8 * tile8) == 0, (d, batch, tile8)
+    b8 = batch // 8
+    s_rows = states_t.reshape(8 * ncomp, b8)
+    grid = (b8 // tile8,)
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    kernel = make_component_kernel(step_tiles, ncomp, autoreset)
+    out, rew = pl.pallas_call(
+        functools.partial(kernel, horizon),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8 * ncomp, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8 * ncomp, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8 * ncomp, b8), states_t.dtype),
+            jax.ShapeDtypeStruct((8, b8), states_t.dtype),
+        ],
+    )(seed_arr, s_rows)
+    return out.reshape(ncomp, batch), rew.reshape(batch)
+
+
+# --------------------------------------------------------------------------
 # quadrotor2d-v0 (envs/quadrotor2d.py defaults): 5-state planar quad with
 # its PD+atan2 controller in the loop.
 
@@ -423,29 +487,6 @@ def _quad2d_step_tiles(comp):
     return [nx, nz, nth, nvx, nvz], done, reward
 
 
-def _quad2d_kernel(horizon, autoreset, seed_ref, s_ref, out_ref, rew_ref):
-    if autoreset:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-
-    def rows(s, i):
-        return s[8 * i : 8 * (i + 1)]
-
-    def body(_, carry):
-        s, rew_acc = carry
-        comp, done, reward = _quad2d_step_tiles([rows(s, i) for i in range(5)])
-        stacked = jnp.concatenate(comp, axis=0)
-        if autoreset:
-            draw = _uniform_pm1((40,) + comp[0].shape[1:])
-            stacked = jnp.where(jnp.tile(done, (5, 1)), draw, stacked)
-        return stacked, rew_acc + reward
-
-    s0 = s_ref[:, :]
-    rew0 = jnp.zeros((8,) + s0.shape[1:], s0.dtype)
-    s_final, rew = jax.lax.fori_loop(0, horizon, body, (s0, rew0))
-    out_ref[:, :] = s_final
-    rew_ref[:, :] = rew
-
-
 @functools.partial(jax.jit, static_argnames=("horizon", "tile8", "autoreset"))
 def quad2d_rollout_autoreset_pallas8(states_t, seed, horizon: int,
                                      tile8: int = 512, autoreset: bool = True):
@@ -454,29 +495,8 @@ def quad2d_rollout_autoreset_pallas8(states_t, seed, horizon: int,
     ``states_t``: (5, B) float32, B a multiple of ``8 * tile8``.
     Returns (final_states_t (5, B), reward_sum (B,)).
     """
-    d, batch = states_t.shape
-    assert d == 5 and batch % (8 * tile8) == 0, (d, batch, tile8)
-    b8 = batch // 8
-    s40 = states_t.reshape(40, b8)
-    grid = (b8 // tile8,)
-    seed_arr = jnp.asarray([seed], jnp.int32)
-    out, rew = pl.pallas_call(
-        functools.partial(_quad2d_kernel, horizon, autoreset),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((40, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((40, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((40, b8), states_t.dtype),
-            jax.ShapeDtypeStruct((8, b8), states_t.dtype),
-        ],
-    )(seed_arr, s40)
-    return out.reshape(5, batch), rew.reshape(batch)
+    return component_rollout(_quad2d_step_tiles, 5, states_t, seed, horizon,
+                             tile8, autoreset)
 
 
 @functools.partial(jax.jit, static_argnames=("horizon", "tile8"))

@@ -31,7 +31,7 @@ try:
 except ImportError:  # pragma: no cover
     _PALLAS = False
 
-from .pallas_rollout import _uniform_pm1, tilt_controller_tiles
+from .pallas_rollout import component_rollout, tilt_controller_tiles
 
 
 def available() -> bool:
@@ -263,60 +263,7 @@ def _slung2d_step_tiles(comp):
 
 
 # --------------------------------------------------------------------------
-# Kernels + entry points (shared shape)
-
-
-def _make_kernel(step_tiles, ncomp, autoreset):
-    def kernel(horizon, seed_ref, s_ref, out_ref, rew_ref):
-        if autoreset:
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-
-        def rows(s, i):
-            return s[8 * i : 8 * (i + 1)]
-
-        def body(_, carry):
-            s, rew_acc = carry
-            new_comp, done, reward = step_tiles([rows(s, i) for i in range(ncomp)])
-            stacked = jnp.concatenate(new_comp, axis=0)
-            if autoreset:
-                draw = _uniform_pm1((8 * ncomp,) + new_comp[0].shape[1:])
-                stacked = jnp.where(jnp.tile(done, (ncomp, 1)), draw, stacked)
-            return stacked, rew_acc + reward
-
-        s0 = s_ref[:, :]
-        rew0 = jnp.zeros((8,) + s0.shape[1:], s0.dtype)
-        s_final, rew = jax.lax.fori_loop(0, horizon, body, (s0, rew0))
-        out_ref[:, :] = s_final
-        rew_ref[:, :] = rew
-
-    return kernel
-
-
-def _rollout(step_tiles, ncomp, states_t, seed, horizon, tile8, autoreset):
-    d, batch = states_t.shape
-    assert d == ncomp and batch % (8 * tile8) == 0, (d, batch, tile8)
-    b8 = batch // 8
-    s_rows = states_t.reshape(8 * ncomp, b8)
-    grid = (b8 // tile8,)
-    seed_arr = jnp.asarray([seed], jnp.int32)
-    kernel = _make_kernel(step_tiles, ncomp, autoreset)
-    out, rew = pl.pallas_call(
-        functools.partial(kernel, horizon),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8 * ncomp, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((8 * ncomp, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((8 * ncomp, b8), states_t.dtype),
-            jax.ShapeDtypeStruct((8, b8), states_t.dtype),
-        ],
-    )(seed_arr, s_rows)
-    return out.reshape(ncomp, batch), rew.reshape(batch)
+# Entry points (kernel scaffolding shared via pallas_rollout.component_rollout)
 
 
 @functools.partial(jax.jit, static_argnames=("horizon", "tile8", "autoreset"))
@@ -327,7 +274,8 @@ def slung3d_rollout_pallas8(states_t, seed, horizon: int, tile8: int = 256,
     ``states_t``: (16, B) float32, B a multiple of ``8 * tile8``.
     Returns (final_states_t (16, B), reward_sum (B,)).
     """
-    return _rollout(_slung3d_step_tiles, 16, states_t, seed, horizon, tile8, autoreset)
+    return component_rollout(_slung3d_step_tiles, 16, states_t, seed, horizon,
+                             tile8, autoreset)
 
 
 @functools.partial(jax.jit, static_argnames=("horizon", "tile8", "autoreset"))
@@ -338,4 +286,5 @@ def slung2d_rollout_pallas8(states_t, seed, horizon: int, tile8: int = 256,
     ``states_t``: (9, B) float32, B a multiple of ``8 * tile8``.
     Returns (final_states_t (9, B), reward_sum (B,)).
     """
-    return _rollout(_slung2d_step_tiles, 9, states_t, seed, horizon, tile8, autoreset)
+    return component_rollout(_slung2d_step_tiles, 9, states_t, seed, horizon,
+                             tile8, autoreset)

@@ -125,9 +125,12 @@ def _hover_step_tiles(comp, raw_action):
         + 0.1 * a_sum
         + 100.0
     )
-    # done = ~finite | z<=0.3 | |x|>=2 | |y|>=2 ; finite stays finite in
-    # this contact-free dynamics for live states (reset long before blowup)
-    done = (pz <= 0.3) | (jnp.abs(px) >= 2.0) | (jnp.abs(py) >= 2.0)
+    # done = ~finite | z<=0.3 | |x|>=2 | |y|>=2.  The finite clause
+    # matters for arbitrary caller-supplied init states (NaN comparisons
+    # are all False, so without it a NaN lane would never reset —
+    # breaking the kernel-equals-scan contract).
+    finite = jnp.isfinite(sum(comp))
+    done = ~finite | (pz <= 0.3) | (jnp.abs(px) >= 2.0) | (jnp.abs(py) >= 2.0)
     return comp, done, reward
 
 

@@ -14,7 +14,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..envs.core import EnvDef
+from ..envs.core import EnvDef, episode_boundary
 from . import networks, ppo
 
 
@@ -51,14 +51,18 @@ def evaluate(
             obs = ppo._normalize(obs, obs_norm)
         mean, _, _ = networks.apply(params, obs)
         out = env.autoreset_step(s, mean, k_reset2)
+        # Episode accounting must follow the same boundary auto-reset
+        # uses (done | truncated) — a time_limit-wrapped env resets at
+        # the horizon with done=False, truncated=True.
+        ended = episode_boundary(out)
         ep_ret = ep_ret + out.reward
         ep_len = ep_len + 1
-        done_f = out.done.astype(ep_ret.dtype)
+        done_f = ended.astype(ep_ret.dtype)
         tot_ret = tot_ret + jnp.sum(ep_ret * done_f)
         tot_len = tot_len + jnp.sum(ep_len * done_f)
-        n_eps = n_eps + jnp.sum(out.done).astype(n_eps.dtype)
+        n_eps = n_eps + jnp.sum(ended).astype(n_eps.dtype)
         ep_ret = ep_ret * (1.0 - done_f)
-        ep_len = ep_len * (1 - out.done.astype(ep_len.dtype))
+        ep_len = ep_len * (1 - ended.astype(ep_len.dtype))
         return (out.state, k, ep_ret, ep_len, tot_ret, tot_len, n_eps), out.reward
 
     dtype = states.dtype

@@ -71,6 +71,32 @@ def apply(params, obs: jnp.ndarray):
 # unfused path.
 
 
+@jax.custom_vjp
+def _tanh_bf16_residual(x):
+    """tanh computed in the INPUT precision (f32) whose saved backward
+    residual is bf16 — the (2H, n) hidden tensors are the update phase's
+    HBM cost, and the residual is what autodiff materialises between
+    forward and backward.  Plain ``jnp.tanh(x).astype(bf16)`` would save
+    the f32 output (no bandwidth win); ``jnp.tanh(x.astype(bf16))``
+    rounds the accumulation BEFORE the nonlinearity (diverging from the
+    fused Pallas loss kernel, which applies tanh to the f32 accumulation).
+    """
+    return jnp.tanh(x)
+
+
+def _tanh_bf16_fwd(x):
+    h = jnp.tanh(x)
+    return h, h.astype(jnp.bfloat16)
+
+
+def _tanh_bf16_bwd(h16, g):
+    h = h16.astype(g.dtype)
+    return (g * (1.0 - h * h),)
+
+
+_tanh_bf16_residual.defvjp(_tanh_bf16_fwd, _tanh_bf16_bwd)
+
+
 def _block_diag2(a, b):
     """[[a, 0], [0, b]] for 2-D blocks."""
     za = jnp.zeros((a.shape[0], b.shape[1]), a.dtype)
@@ -129,11 +155,11 @@ def apply_t(params, obs_t, compute_dtype=None):
 
     for w, b in layers:
         pre = mm(w, x) + b.reshape(b.shape + (1,) * (x.ndim - 1))
-        # Under reduced precision keep the STORED activation (tanh output,
-        # which autodiff saves for the backward pass) in the compute
-        # dtype: hidden tensors are the HBM-bandwidth cost of the update
-        # phase — (2H, n) per layer — and bf16 halves it.
-        x = jnp.tanh(pre.astype(cd)) if cd is not None else jnp.tanh(pre)
+        # Under reduced precision the nonlinearity still sees the f32
+        # accumulation; only the autodiff residual is stored bf16 (see
+        # _tanh_bf16_residual) — halving the (2H, n) hidden-tensor HBM
+        # traffic without changing forward numerics beyond bf16 matmuls.
+        x = _tanh_bf16_residual(pre) if cd is not None else jnp.tanh(pre)
     out = mm(w_out, x) + b_out.reshape(b_out.shape + (1,) * (x.ndim - 1))
     mean = out[:-1]
     value = out[-1]

@@ -94,7 +94,9 @@ def train(args) -> ppo.TrainState:
                            value_clip_eps=1e9)
     mesh = None if args.no_mesh else make_mesh()
     k = max(1, args.updates_per_jit)
-    if args.shard_map and mesh is not None:
+    if args.shard_map and mesh is None:
+        raise SystemExit("--shard_map requires a mesh (drop --no_mesh)")
+    if args.shard_map:
         if k > 1:
             raise SystemExit("--shard_map currently folds one update per "
                              "dispatch (drop --updates_per_jit)")
@@ -165,7 +167,12 @@ def play(args, state: ppo.TrainState | None = None):
     """Deterministic greedy rollout with the trained policy
     (the ``--play`` loop of ``run.py:190-213``)."""
     env = make(args.env)
-    cfg = ppo.PpoConfig(hidden=tuple([args.num_hidden] * args.num_layers))
+    # The restore target must mirror the TRAINING shapes (num_env /
+    # rollout_len define env_states/env_returns sizes in the checkpoint).
+    cfg = ppo.PpoConfig(
+        num_envs=args.num_env, rollout_len=args.rollout_len,
+        hidden=tuple([args.num_hidden] * args.num_layers),
+    )
     if state is None:
         state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(args.seed))
         if args.load_path:
@@ -187,7 +194,8 @@ def play(args, state: ppo.TrainState | None = None):
         out = greedy_step(state.params, state.obs_norm, s, key)
         total_reward += float(out.reward)
         states.append(np.asarray(out.obs))
-        if bool(out.done):
+        truncated = out.truncated is not None and bool(out.truncated)
+        if bool(out.done) or truncated:  # episode boundary incl. time_limit
             episodes += 1
             s = env.reset(jax.random.PRNGKey(args.seed + 3 + t))
         else:

@@ -53,7 +53,7 @@ def restore(path: str, target):
     try:
         with _checkpointer() as cp:
             restored = cp.restore(path, host_target)
-    except BaseException as e:  # orbax raises various internal error types
+    except Exception as e:  # orbax raises various internal error types
         raise CheckpointStructureError(
             f"checkpoint at {path} does not match the restore target "
             f"(was it written with a different network width, num_envs, or "
