@@ -27,7 +27,6 @@ dtype-polymorphic — float32 for TPU throughput, float64 (under
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax

@@ -24,8 +24,7 @@ import jax
 import jax.numpy as jnp
 
 try:
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    from jax.experimental import pallas as pl  # noqa: F401 — availability probe
 
     _PALLAS = True
 except ImportError:  # pragma: no cover

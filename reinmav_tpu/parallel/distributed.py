@@ -27,7 +27,7 @@ from typing import Optional
 import jax
 import numpy as np
 
-from .mesh import BATCH_AXIS, batch_sharding
+from .mesh import batch_sharding
 
 
 _initialized = False

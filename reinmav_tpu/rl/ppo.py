@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..envs.core import EnvDef, StepOut, episode_boundary
+from ..envs.core import EnvDef, episode_boundary
 from . import networks
 
 

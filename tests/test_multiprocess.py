@@ -17,8 +17,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
-
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -8,7 +8,6 @@ import numpy as np
 import pytest
 
 import reinmav_tpu
-from reinmav_tpu.envs.core import control_rollout
 from reinmav_tpu.ops import pallas_slungload
 
 pytestmark = pytest.mark.skipif(

@@ -13,7 +13,6 @@ solref-derived contact model in independent NumPy code.  These tests pin:
 
 import jax
 import numpy as np
-import pytest
 
 import reinmav_tpu
 from reinmav_tpu.envs import tpuquad
