@@ -124,6 +124,14 @@ def main():
             row["note"] = "each step runs ~50 controller+EOM substeps"
         results["sweeps"].append(row)
         print(json.dumps(row), flush=True)
+        if env_id == "reinmav-v0" and args.batch != batch:
+            # Large-batch row: the kernel's intrinsic rate (the small
+            # default batch under-fills the chip for this 50-substep env;
+            # PARITY.md's headline must map to a committed artifact).
+            row = bench_env(env_id, args.batch, args.horizon)
+            row["note"] = "large-batch row (kernel intrinsic rate)"
+            results["sweeps"].append(row)
+            print(json.dumps(row), flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
     with open(out, "w") as f:

@@ -52,11 +52,26 @@ def init(coordinator_address: Optional[str] = None,
     Idempotent: repeated calls after a successful initialise are no-ops.
     """
     global _initialized
-    if _initialized:
-        return
     explicit = any(
         v is not None for v in (coordinator_address, num_processes, process_id)
     )
+    if _initialized:
+        # Re-init with explicit arguments is only a no-op when they MATCH
+        # the live runtime — a conflicting second call is a real
+        # misconfiguration and must raise, not be silently ignored.
+        if explicit:
+            if num_processes is not None and num_processes != jax.process_count():
+                raise RuntimeError(
+                    f"distributed.init(num_processes={num_processes}) after "
+                    f"runtime already initialised with "
+                    f"{jax.process_count()} processes"
+                )
+            if process_id is not None and process_id != jax.process_index():
+                raise RuntimeError(
+                    f"distributed.init(process_id={process_id}) after runtime "
+                    f"already initialised as process {jax.process_index()}"
+                )
+        return
     if explicit and num_processes == 1:
         return  # deliberate single-process run
     if explicit:

@@ -75,10 +75,16 @@ def evaluate(
     (_, _, running_ret, running_len, tot_ret, tot_len, n_eps), rewards = jax.lax.scan(
         body, init, None, length=horizon
     )
+    # Zero completed episodes means "no data", not "return 0.0" — report
+    # NaN so a survives-the-whole-horizon policy is not logged as if it
+    # scored zero (VERDICT r2: the 500M-step artifact logged
+    # eval_mean_return 0.0 at full survival).
     safe_n = jnp.maximum(n_eps, 1)
+    no_eps = n_eps == 0
+    nan = jnp.asarray(jnp.nan, dtype)
     return EvalStats(
-        mean_return=tot_ret / safe_n,
-        mean_length=tot_len / safe_n,
+        mean_return=jnp.where(no_eps, nan, tot_ret / safe_n),
+        mean_length=jnp.where(no_eps, nan, tot_len / safe_n),
         num_episodes=n_eps,
         mean_reward=rewards.mean(),
         mean_running_return=running_ret.mean(),

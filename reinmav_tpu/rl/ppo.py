@@ -39,6 +39,14 @@ class PpoConfig(NamedTuple):
     clip_eps: float = 0.2
     value_clip_eps: float = 0.2
     entropy_coef: float = 0.0
+    # Optional lower clamp on the policy log-std, applied after every
+    # optimiser step.  With entropy_coef=0 (the reference recipe) long
+    # runs drive log_std steadily down (the 500M-step hover artifact ends
+    # at entropy -1.96, i.e. log_std ~ -1.9 per dim) — exploration
+    # collapses and learning freezes; a floor (e.g. -2.0) keeps a minimum
+    # exploration noise without the gradient bias of an entropy bonus.
+    # None = unclamped (reference-faithful).
+    log_std_floor: float | None = None
     value_coef: float = 0.5
     max_grad_norm: float = 0.5
     num_epochs: int = 4
@@ -57,10 +65,21 @@ class PpoConfig(NamedTuple):
     # statistically equivalent to ppo2's element shuffle while replacing
     # a 1M-element random gather with a lane-aligned tile gather.
     # Auto-halved until it divides the batch; 1 = exact element shuffle.
+    # Caveat: the i.i.d.-envs argument is weakest for deterministic-reset
+    # envs (the tpuquad family), where all envs start phase-locked and a
+    # 128-sample tile is highly correlated for the first episodes; resets
+    # desynchronise the batch quickly, but for short runs on those envs
+    # prefer a smaller tile (or 1 for ppo2's exact element shuffle).
     shuffle_tile: int = 128
     # Fused Pallas loss fwd+bwd kernel (ops/pallas_ppo): "auto" uses it
     # on TPU for 2-equal-hidden-layer nets, "on" forces (tests/interpret),
     # "off" keeps the XLA autodiff path.
+    # bf16 caveat: under compute_dtype="bfloat16" the two paths are NOT
+    # gradient-identical — XLA autodiff backprops tanh through the
+    # bf16-stored residual (networks._tanh_bf16_residual) while the fused
+    # kernel keeps the f32 activation in VMEM; toggling fused_loss in
+    # bf16 mode shifts gradients at bf16 rounding magnitude (pinned by
+    # tests/test_pallas_ppo.py::test_fused_loss_grads_bf16_mode).
     fused_loss: str = "auto"
 
 
@@ -527,6 +546,9 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
                 metrics = jax.lax.pmean(metrics, axis_name)
             updates, opt_state_ = optimizer.update(grads, opt_state_, params_)
             params_ = optax.apply_updates(params_, updates)
+            if cfg.log_std_floor is not None:  # static at trace time
+                params_ = {**params_, "log_std": jnp.maximum(
+                    params_["log_std"], cfg.log_std_floor)}
             return (params_, opt_state_), metrics
 
         idxs = perm.reshape(cfg.num_minibatches, n_tiles // cfg.num_minibatches)
@@ -619,28 +641,27 @@ def make_train_many(env: EnvDef, cfg: PpoConfig, num_updates: int, mesh=None):
     return jax.jit(fn, in_shardings=(ss,), out_shardings=(ss, rep))
 
 
-def make_train_step_shardmap(env: EnvDef, cfg: PpoConfig, mesh):
-    """Multi-chip train step via ``shard_map`` — the FAST mesh path.
-
-    Unlike :func:`make_train_step`'s jit-sharding mode (which must
-    disable the sublane-dense rollout view and the fused Pallas loss
-    because both are single-device constructs), shard_map makes every
-    array device-local: each chip rolls out its env shard in the
-    (D, 8, B_local/8) view, runs the fused loss kernel on its local
-    minibatches, and only the gradient ``pmean`` crosses ICI.
-
-    Semantics are the MPI data-parallel recipe (baselines PPO2 under
-    mpirun): per-device rollout streams/minibatch partitions/advantage
-    normalisation, globally-averaged gradients and normalisation
-    statistics — NOT bitwise-identical to a single-device run, but the
-    same algorithm at N× the batch.  Requires ``cfg.num_envs`` divisible
-    by the mesh size (and by 8× mesh size for the dense view).
-    """
+def _shard_map_fn():
     try:
-        from jax import shard_map  # jax >= 0.8
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map  # jax >= 0.8 (takes check_vma=)
 
+        return shard_map
+    except ImportError:  # pragma: no cover
+        # The experimental module's kwarg is check_rep; translate so the
+        # compatibility branch actually runs instead of TypeError-ing.
+        from jax.experimental.shard_map import shard_map as _sm_experimental
+
+        def shard_map(f, *, mesh, in_specs, out_specs, check_vma):
+            return _sm_experimental(
+                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_rep=check_vma,
+            )
+
+        return shard_map
+
+
+def _make_shardmap(env: EnvDef, cfg: PpoConfig, mesh, num_updates: int | None):
+    """Shared builder for the shard_map train step / train_many."""
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.mesh import BATCH_AXIS
@@ -659,11 +680,52 @@ def make_train_step_shardmap(env: EnvDef, cfg: PpoConfig, mesh):
         env_returns=bs, key=rep, update_step=rep,
     )
     step = partial(train_step, env, cfg, axis_name=BATCH_AXIS)
-    fn = shard_map(
-        step, mesh=mesh, in_specs=(state_specs,),
+    if num_updates is None:
+        body = step
+    else:
+        def body(state):
+            def one(s, _):
+                return step(s)
+
+            state, stacked = jax.lax.scan(one, state, None, length=num_updates)
+            # Metric means computed in-program (device-local values are
+            # already pmean'd identical across devices).
+            return state, {k: v.mean(axis=0) for k, v in stacked.items()}
+
+    fn = _shard_map_fn()(
+        body, mesh=mesh, in_specs=(state_specs,),
         out_specs=(state_specs, rep), check_vma=False,
     )
     return jax.jit(fn)
+
+
+def make_train_step_shardmap(env: EnvDef, cfg: PpoConfig, mesh):
+    """Multi-chip train step via ``shard_map`` — the FAST mesh path.
+
+    Unlike :func:`make_train_step`'s jit-sharding mode (which must
+    disable the sublane-dense rollout view and the fused Pallas loss
+    because both are single-device constructs), shard_map makes every
+    array device-local: each chip rolls out its env shard in the
+    (D, 8, B_local/8) view, runs the fused loss kernel on its local
+    minibatches, and only the gradient ``pmean`` crosses ICI.
+
+    Semantics are the MPI data-parallel recipe (baselines PPO2 under
+    mpirun): per-device rollout streams/minibatch partitions/advantage
+    normalisation, globally-averaged gradients and normalisation
+    statistics — NOT bitwise-identical to a single-device run, but the
+    same algorithm at N× the batch.  Requires ``cfg.num_envs`` divisible
+    by the mesh size (and by 8× mesh size for the dense view).
+    """
+    return _make_shardmap(env, cfg, mesh, None)
+
+
+def make_train_many_shardmap(env: EnvDef, cfg: PpoConfig, num_updates: int, mesh):
+    """K shard_map train updates folded into ONE compiled dispatch (a
+    ``lax.scan`` over the shard_map body) — on tunnelled/remote runtimes
+    the per-dispatch floor (~25 ms here) would otherwise cost the fast
+    mesh path what the single-chip path amortises away.  Returns
+    ``(state, per-update-averaged metrics)`` like :func:`train_many`."""
+    return _make_shardmap(env, cfg, mesh, num_updates)
 
 
 def make_train_step(env: EnvDef, cfg: PpoConfig, mesh=None):

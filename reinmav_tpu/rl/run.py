@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_layers", type=int, default=2)
     p.add_argument("--num_hidden", type=int, default=64)
     p.add_argument("--ent_coef", type=float, default=0.0)
+    p.add_argument("--log_std_floor", type=float, default=None,
+                   help="lower clamp on the policy log-std after each "
+                        "optimiser step; with ent_coef=0 long runs "
+                        "collapse exploration (log_std drifts to ~-2 in "
+                        "the 500M-step hover artifact) — a floor keeps "
+                        "minimum noise without biasing the gradient")
     p.add_argument("--save_path", default=None)
     p.add_argument("--load_path", default=None)
     p.add_argument("--save_interval", type=int, default=50)
@@ -84,6 +90,7 @@ def train(args) -> ppo.TrainState:
         gae_lambda=args.lam,
         clip_eps=args.clip,
         entropy_coef=args.ent_coef,
+        log_std_floor=args.log_std_floor,
         hidden=tuple([args.num_hidden] * args.num_layers),
     )
     if args.alg == "a2c":
@@ -97,10 +104,11 @@ def train(args) -> ppo.TrainState:
     if args.shard_map and mesh is None:
         raise SystemExit("--shard_map requires a mesh (drop --no_mesh)")
     if args.shard_map:
-        if k > 1:
-            raise SystemExit("--shard_map currently folds one update per "
-                             "dispatch (drop --updates_per_jit)")
-        step_fn = ppo.make_train_step_shardmap(env, cfg, mesh)
+        step_fn = (
+            ppo.make_train_step_shardmap(env, cfg, mesh)
+            if k == 1
+            else ppo.make_train_many_shardmap(env, cfg, k, mesh)
+        )
     else:
         step_fn = (
             ppo.make_train_step(env, cfg, mesh)
@@ -155,10 +163,13 @@ def train(args) -> ppo.TrainState:
                                 "eval_episodes": stats.num_episodes,
                                 "eval_running_return": stats.mean_running_return,
                                 "eval_survival_frac": stats.survival_frac})
-        if args.save_path and logger.is_main and (update // k) % args.save_interval == 0:
+        # ckpt.save is COLLECTIVE: in a multi-process run every process
+        # must call it (each writes its addressable shards of the global
+        # env batch) — host-0 gating would deadlock/drop shards.
+        if args.save_path and (update // k) % args.save_interval == 0:
             ckpt.save(args.save_path, state)
 
-    if args.save_path and logger.is_main:
+    if args.save_path:
         ckpt.save(args.save_path, state)
     return state
 

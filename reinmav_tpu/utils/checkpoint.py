@@ -7,12 +7,20 @@ entire :class:`~reinmav_tpu.rl.ppo.TrainState` — params, optimiser state,
 *and* the batched env states — is one array pytree, so save/restore is a
 single orbax call and training resumes bitwise-identically (SURVEY.md §5).
 
+Multi-host correctness: the reference's rank-0 ``model.save`` worked
+because params were host-local; here the env batch is a *global* array
+with non-addressable shards on other hosts, so **every process must call
+:func:`save` and :func:`restore` collectively** — orbax writes each
+host's addressable shards and barrier-syncs.  Nothing is gathered to
+host 0; restore materialises arrays directly onto each target leaf's own
+sharding (mesh-sharded env batch stays mesh-sharded).
+
 Uses the modern ``ocp.StandardCheckpointer`` + ``ocp.args`` API (the
 ``PyTreeCheckpointer``/``item=`` surface is deprecated and already removed
 in newer orbax).  Structure mismatches between the on-disk tree and the
 restore target (e.g. a checkpoint written with different ``hidden`` or
-``num_envs``) raise a clear :class:`CheckpointStructureError` instead of
-an opaque orbax traceback.
+``num_envs``) raise a clear :class:`CheckpointStructureError`; genuine
+I/O failures (missing path, permissions) keep their real exception types.
 """
 
 from __future__ import annotations
@@ -20,7 +28,6 @@ from __future__ import annotations
 import os
 
 import jax
-import numpy as np
 
 
 class CheckpointStructureError(ValueError):
@@ -35,54 +42,61 @@ def _checkpointer():
 
 
 def save(path: str, tree) -> None:
-    """Save a pytree checkpoint (host-0 only in multi-process runs)."""
+    """Save a pytree checkpoint.
+
+    Collective in multi-process runs: every process calls this with the
+    same global-array pytree; orbax writes each process's addressable
+    shards and synchronises.  (Do NOT gate behind ``process_index()==0``
+    — a lone host-0 save of a sharded array would deadlock or drop the
+    other hosts' shards.)
+    """
     path = os.path.abspath(path)
-    # Gather to host before writing: orbax handles sharded arrays natively,
-    # but local single-host saving is the common case here.
-    tree = jax.device_get(tree)
     with _checkpointer() as cp:
         cp.save(path, tree, force=True)
 
 
+def _abstract_leaf(x):
+    """Restore template leaf: shape/dtype/sharding of the target — orbax
+    materialises the restored array directly with the target's layout
+    (sharded leaves come back sharded; no host gather)."""
+    if isinstance(x, jax.Array):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+    return x
+
+
 def restore(path: str, target):
-    """Restore into the structure of ``target`` (dtypes/shapes of the
-    target are preserved; raises :class:`CheckpointStructureError` when
-    the saved tree does not fit the target's treedef/shapes)."""
+    """Restore into the structure/shapes/shardings of ``target``.
+
+    Collective in multi-process runs (see :func:`save`).  Raises
+    :class:`FileNotFoundError` when no checkpoint exists at ``path``,
+    :class:`CheckpointStructureError` when the saved tree does not fit
+    the target's treedef/shapes/dtypes, and re-raises genuine I/O errors
+    unchanged.
+    """
     path = os.path.abspath(path)
-    host_target = jax.device_get(target)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"no checkpoint directory at {path}")
+    template = jax.tree.map(_abstract_leaf, target)
     try:
         with _checkpointer() as cp:
-            restored = cp.restore(path, host_target)
-    except Exception as e:  # orbax raises various internal error types
+            return cp.restore(path, template)
+    except OSError:
+        # Missing files / permissions / I-O failures are not structure
+        # mismatches — surface them as what they are.
+        raise
+    except Exception as e:  # orbax raises assorted types on tree mismatch
+        msg = str(e).lower()
+        structural = any(
+            token in msg
+            for token in (
+                "structure", "shape", "dtype", "mismatch", "tree",
+                "does not match", "missing", "unexpected", "key",
+            )
+        )
+        if not structural:
+            raise
         raise CheckpointStructureError(
             f"checkpoint at {path} does not match the restore target "
             f"(was it written with a different network width, num_envs, or "
             f"TrainState layout?): {type(e).__name__}: {e}"
         ) from e
-    mismatches = []
-
-    def _check(kp, ref, x):
-        if np.shape(ref) != np.shape(x):
-            mismatches.append(
-                f"  {jax.tree_util.keystr(kp)}: target {np.shape(ref)} vs "
-                f"checkpoint {np.shape(x)}"
-            )
-        return x
-
-    try:
-        restored = jax.tree_util.tree_map_with_path(_check, host_target, restored)
-    except ValueError as e:
-        raise CheckpointStructureError(
-            f"checkpoint at {path} has a different pytree structure than the "
-            f"restore target: {e}"
-        ) from e
-    if mismatches:
-        raise CheckpointStructureError(
-            f"checkpoint at {path} has mismatched array shapes:\n"
-            + "\n".join(mismatches)
-        )
-    return jax.tree.map(
-        lambda ref, x: jax.numpy.asarray(x, getattr(ref, "dtype", None)),
-        target,
-        restored,
-    )

@@ -71,9 +71,44 @@ def main():
     state = state._replace(env_states=global_states.astype(state.env_states.dtype))
 
     step = ppo.make_train_step(env, cfg, mesh)
-    state, metrics = step(state)
-    assert int(jax.device_get(state.update_step)) == 1
 
+    phase = sys.argv[5] if len(sys.argv) > 5 else "step"
+    if phase == "step":
+        state, metrics = step(state)
+        assert int(jax.device_get(state.update_step)) == 1
+        _write_digest(state, metrics, outdir, pid)
+    elif phase == "save":
+        # Multi-host checkpoint leg A: 2 updates, COLLECTIVE save of the
+        # global sharded TrainState (both processes call ckpt.save — the
+        # env batch has non-addressable shards on the other process),
+        # then 2 more updates for the uninterrupted reference digest.
+        from reinmav_tpu.utils import checkpoint as ckpt
+
+        for _ in range(2):
+            state, metrics = step(state)
+        ckpt.save(os.path.join(outdir, "mid_ckpt"), state)
+        for _ in range(2):
+            state, metrics = step(state)
+        _write_digest(state, metrics, outdir, pid, suffix="_ref")
+    elif phase == "restore":
+        # Leg B: a FRESH 2-process cluster (real restart) restores the
+        # global checkpoint collectively onto the mesh and continues; the
+        # parent asserts the continuation is bitwise-identical to leg A's
+        # uninterrupted run.
+        from reinmav_tpu.utils import checkpoint as ckpt
+
+        wrong = make_state(jax.random.PRNGKey(99))  # wrong seed on purpose
+        state = ckpt.restore(os.path.join(outdir, "mid_ckpt"), wrong)
+        assert int(jax.device_get(state.update_step)) == 2
+        for _ in range(2):
+            state, metrics = step(state)
+        _write_digest(state, metrics, outdir, pid, suffix="_resumed")
+    else:
+        raise SystemExit(f"unknown phase {phase}")
+    print(f"proc {pid} OK phase={phase}")
+
+
+def _write_digest(state, metrics, outdir, pid, suffix=""):
     # Replicated params must be identical on every process after the
     # cross-process gradient all-reduce.
     flat = np.concatenate([
@@ -82,10 +117,9 @@ def main():
     ])
     assert np.isfinite(flat).all()
     digest = hashlib.sha256(flat.tobytes()).hexdigest()
-    with open(os.path.join(outdir, f"proc{pid}.txt"), "w") as f:
+    with open(os.path.join(outdir, f"proc{pid}{suffix}.txt"), "w") as f:
         f.write(digest + "\n")
         f.write(f"{float(jax.device_get(metrics['v_loss'])):.9e}\n")
-    print(f"proc {pid} OK {digest[:12]}")
 
 
 if __name__ == "__main__":

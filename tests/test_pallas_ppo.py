@@ -110,3 +110,69 @@ def test_train_step_fused_matches_autodiff():
     for name in ("pg_loss", "v_loss", "approx_kl", "clip_frac", "entropy"):
         np.testing.assert_allclose(float(m_fused[name]), float(m_ref[name]),
                                    rtol=1e-4, atol=1e-6, err_msg=name)
+
+
+def test_fused_loss_grads_bf16_mode():
+    """bf16-mode kernel vs bf16-mode autodiff: NOT bitwise — autodiff
+    backprops tanh through the bf16-stored residual while the kernel
+    keeps the f32 activation in VMEM (see PpoConfig.fused_loss docs).
+    This pins the divergence at bf16-rounding magnitude so a genuine
+    kernel regression (orders-of-magnitude larger) stays detectable."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    d, a, n = 10, 4, 512
+    cfgnet = networks.MlpConfig(d, a, hidden=(64, 64))
+    params = networks.init_params(jax.random.PRNGKey(0), cfgnet)
+    params["log_std"] = params["log_std"] + 0.1
+    cfg = ppo.PpoConfig(entropy_coef=1e-2, normalize_advantages=False,
+                        compute_dtype="bfloat16")
+
+    obs, act, old_logp, old_value, adv, ret = _random_batch(
+        jax.random.PRNGKey(1), d, a, n
+    )
+    batch = ppo.Transition(obs, act, old_logp, old_value, jnp.zeros(n),
+                           jnp.zeros(n, bool))
+    (_, metrics), grads = jax.value_and_grad(ppo.ppo_loss, has_aux=True)(
+        params, cfg, batch, adv, ret, jnp.bfloat16
+    )
+
+    layers, wo, bo = networks.fused_weights(params)
+    (w1, b1), (w2, b2) = layers
+    with pltpu.force_tpu_interpret_mode():
+        g, m = pallas_ppo.ppo_loss_grads_pallas(
+            obs, act, old_logp, old_value, adv, ret,
+            w1, b1, w2, b2, wo, bo, params["log_std"],
+            clip_eps=cfg.clip_eps, value_clip_eps=cfg.value_clip_eps,
+            value_coef=cfg.value_coef, ent_coef=cfg.entropy_coef,
+            tile=128, compute_dtype="bfloat16",
+        )
+
+    # Forward metrics see identical bf16 matmul inputs — tight-ish.
+    for name in ("pg_loss", "v_loss", "approx_kl"):
+        np.testing.assert_allclose(float(m[name]), float(metrics[name]),
+                                   rtol=2e-2, atol=2e-3, err_msg=name)
+
+    # Gradients: compare only the tower blocks _unfuse_grads keeps (the
+    # fused matrices' off-diagonal blocks carry gradient the unfused
+    # pytree discards).  bf16-residual vs f32-activation backward plus
+    # bf16-flipped clip decisions bound the divergence well below O(1).
+    h = 64
+    pairs = [
+        (g["w1"][:, :h], grads["pi"][0]["w"]),
+        (g["w1"][:, h:], grads["vf"][0]["w"]),
+        (g["w2"][:h, :h], grads["pi"][1]["w"]),
+        (g["w2"][h:, h:], grads["vf"][1]["w"]),
+        (g["wo"][:h, :a], grads["pi_out"]["w"]),
+        (g["wo"][h:, a:], grads["vf_out"]["w"]),
+        (g["log_std"], grads["log_std"]),
+    ]
+    total_err = 0.0
+    for fused_blk, ref_blk in pairs:
+        fused_blk = np.asarray(fused_blk, np.float32)
+        ref_blk = np.asarray(ref_blk, np.float32)
+        scale = max(np.abs(ref_blk).max(), 1e-3)
+        err = np.abs(fused_blk - ref_blk).max()
+        assert err < 0.15 * scale, (err, scale)
+        total_err += float(err)
+    assert total_err > 0.0  # the divergence is real — exact identity
+    # would mean the bf16 residual path silently stopped being exercised

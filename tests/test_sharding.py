@@ -165,3 +165,34 @@ def test_shardmap_train_step(mesh):
         ppo.make_train_step_shardmap(
             env, ppo.PpoConfig(num_envs=12), mesh
         )
+
+
+def test_shardmap_train_many_matches_sequential(mesh):
+    """K-folded shard_map updates (one dispatch) must equal K sequential
+    shard_map dispatches bitwise — the multi-chip dispatch-amortisation
+    path (VERDICT r2 weak #2)."""
+    from reinmav_tpu.parallel.mesh import shard_batch
+    from reinmav_tpu.rl import ppo
+
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = ppo.PpoConfig(num_envs=64, rollout_len=8, num_epochs=1,
+                        num_minibatches=2, hidden=(16, 16))
+    state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(11))
+    state = state._replace(env_states=shard_batch(mesh, state.env_states),
+                           env_returns=shard_batch(mesh, state.env_returns))
+
+    many = ppo.make_train_many_shardmap(env, cfg, 3, mesh)
+    single = ppo.make_train_step_shardmap(env, cfg, mesh)
+
+    s_many, metrics = many(state)
+    s_seq = state
+    for _ in range(3):
+        s_seq, last_metrics = single(s_seq)
+
+    for a, b in zip(jax.tree.leaves(s_many), jax.tree.leaves(s_seq)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(s_many.update_step) == 3
+    # metrics averaged in-program over the K folded updates
+    assert all(np.asarray(v).shape == () for v in metrics.values())
+    for v in metrics.values():
+        assert np.isfinite(float(v))
