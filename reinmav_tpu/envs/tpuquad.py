@@ -47,6 +47,19 @@ from ..ops import quadmath as qm
 from .core import EnvDef, StepOut
 
 
+# MuJoCo default constraint-solver constants (solref=(0.02,1) and
+# solimp=(0.9,0.95,0.001,0.5,2) — the XML declares neither, so MuJoCo's
+# defaults apply): K = 1/(dmax² τ² ζ²), B = 2/(dmax τ).  The contact law
+# below mirrors the engine's soft-constraint solve in a per-point
+# diagonal approximation; validated against real mj_step by
+# tests/test_mujoco_divergence.py (flight exact to round-off, flat
+# settle ≤3e-4 m, tumbling-contact ≤2 cm/s-scale — see
+# oracle/tpuquad_ref.py module docs for the measured table).
+_CONTACT_K = 2770.083102493075
+_CONTACT_B = 105.26315789473685
+_IMP_D0, _IMP_DMAX, _IMP_WIDTH = 0.9, 0.95, 0.001
+
+
 class Params(NamedTuple):
     mass: float = 0.3
     # Diagonal inertia about the CoM, from the XML geoms (computed
@@ -54,6 +67,9 @@ class Params(NamedTuple):
     # derivation lives in oracle/tpuquad_ref.body_inertia and the values
     # are pinned to it by tests/test_tpuquad_parity.py).
     inertia_diag: tuple = (0.0016787227432770446, 0.0017578105900562893, 0.0033807)
+    # CoM z-offset from the free-joint/body origin (thruster geoms sit at
+    # z=+0.01): origin kinematics get the full α×c + ω×(ω×c) coupling.
+    com_z: float = 0.003333333333333333
     gravity: float = -9.81
     dt: float = 0.01
     frame_skip: int = 2
@@ -64,28 +80,22 @@ class Params(NamedTuple):
     arm_xy: float = 0.1
     yaw_gear: float = 0.1
     ctrl_high: float = 1.0
-    # Compliant ground contact (replaces MuJoCo's LCP solver).  Constants
-    # derived from MuJoCo 1.5's DEFAULT contact solver parameters rather
-    # than invented: solref = (timeconst tau=0.02 s, dampratio zeta=1,
-    # i.e. critically damped).  Mapping the constraint-space impedance to
-    # an explicit per-point spring-damper with effective mass
-    # m_eff = mass / n_contact_points = 0.3/5 = 0.06 kg:
-    #   k = m_eff / (tau^2 zeta^2) = 150 N/m
-    #   b = 2 m_eff zeta / tau     = 6  N s/m
-    # Resting penetration = m g / (5 k) ~ 3.9 mm (MuJoCo-typical order).
-    # Friction is Coulomb mu = 1 (the XML floor takes MuJoCo's default
-    # sliding friction, condim=3), regularised below contact_slide_vel.
-    contact_stiffness: float = 150.0
-    contact_damping: float = 6.0
-    contact_friction: float = 1.0  # Coulomb mu
-    contact_slide_vel: float = 0.5  # |v_t| where friction saturates (m/s)
+    contact_friction: float = 1.0  # Coulomb mu (XML floor default)
     contact_enabled: bool = True
+    # Fluid drag (XML <option density="1" viscosity="1e-5">): MuJoCo's
+    # inertia-equivalent-box model; full widths from
+    # oracle/tpuquad_ref.box_dims(mass, inertia_diag).
+    density: float = 1.0
+    viscosity: float = 1e-5
+    box_dims: tuple = (0.2630508637803436, 0.25696739688998504,
+                       0.03341656275960588)
 
 
 class QuatParams(NamedTuple):
     mass: float = 0.4
     inertia_diag: tuple = (0.0017412227432770442, 0.0018994772567229557,
                            0.0035415333333333335)
+    com_z: float = 0.0025
     gravity: float = -9.81
     dt: float = 0.01
     frame_skip: int = 2
@@ -93,12 +103,12 @@ class QuatParams(NamedTuple):
     thrust_high: float = 4.0
     rate_kv: float = 0.1
     rate_ctrl_high: float = 1.0
-    # See Params: solref-derived with m_eff = 0.4/5 = 0.08 kg.
-    contact_stiffness: float = 200.0
-    contact_damping: float = 8.0
     contact_friction: float = 1.0
-    contact_slide_vel: float = 0.5
     contact_enabled: bool = True
+    density: float = 1.0
+    viscosity: float = 1e-5
+    box_dims: tuple = (0.2355776256389572, 0.2252757916384078,
+                       0.038568121551353786)
 
 
 # Motor body-frame positions and yaw-torque signs (XML site/gear order).
@@ -131,34 +141,79 @@ def _quat_integrate(quat: jnp.ndarray, omega_body: jnp.ndarray, dt) -> jnp.ndarr
     return qm.quat_normalize(qm.quat_mul(quat, dq))
 
 
-def _contact_wrench(p, pos, quat, vel, omega_body, rot):
-    """Compliant plane contact: critically-damped normal spring-damper +
-    regularised Coulomb friction at each contact point (constants derived
-    from MuJoCo 1.5's default solref — see :class:`Params`).  Returns
-    world force and body torque.
+def _impedance(p, pen):
+    """MuJoCo solimp spline d(pen): power-2 midpoint-0.5 ramp
+    ``d0 → dmax`` over ``width`` of penetration."""
+    x = jnp.clip(pen / _IMP_WIDTH, 0.0, 1.0)
+    s = jnp.where(x <= 0.5, 2.0 * x * x, 1.0 - 2.0 * jnp.square(1.0 - x))
+    return _IMP_D0 + s * (_IMP_DMAX - _IMP_D0)
 
-    Friction: ``f_t = -mu * f_n * v_t / max(|v_t|, v_s)`` — viscous below
-    the regularisation velocity ``v_s``, Coulomb-saturated (|f_t| = mu
-    f_n) above it; smooth at v_t = 0.
-    """
-    force_w = jnp.zeros(3, pos.dtype)
-    torque_b = jnp.zeros(3, pos.dtype)
-    pts = jnp.asarray(_CONTACT_PTS, pos.dtype)
+
+def _fluid_wrench_body(p, vel_com_b, omega_b, dtype):
+    """MuJoCo inertia-box fluid drag (body frame): per-axis quadratic
+    density terms + Stokes equivalent-sphere viscous terms (the XML sets
+    density=1, viscosity=1e-5; validated to float64 round-off against
+    mj_step by tests/test_mujoco_divergence.py)."""
+    D = p.box_dims
+    diam = (D[0] + D[1] + D[2]) / 3.0
+    f = -3.0 * jnp.pi * p.viscosity * diam * vel_com_b
+    t = -jnp.pi * p.viscosity * diam**3 * omega_b
+    fq = []
+    tq = []
+    for i in range(3):
+        j, k = (i + 1) % 3, (i + 2) % 3
+        fq.append(-0.5 * p.density * D[j] * D[k] * jnp.abs(vel_com_b[i]) * vel_com_b[i])
+        tq.append(-p.density * D[i] * (D[j] ** 4 + D[k] ** 4) / 64.0
+                  * jnp.abs(omega_b[i]) * omega_b[i])
+    return f + jnp.stack(fq), t + jnp.stack(tq)
+
+
+def _contact_wrench(p, pos, vel, omega_body, rot, acc0_com, alpha0):
+    """Impedance-regularised plane contact mirroring MuJoCo's
+    soft-constraint law in a per-point diagonal approximation:
+    ``f_n = max(0, d·(aref − a0_n)/A_n)`` with
+    ``aref = d·(K·pen − B·v_n)``, ``a0_n`` the UNCONSTRAINED normal
+    acceleration of the point and ``A_n`` its effective inverse mass;
+    friction is the elliptic clamp ``‖f_t‖ ≤ μ f_n`` of the same law on
+    the tangent axes.  Returns world force and body torque (about the
+    CoM)."""
+    dtype = pos.dtype
+    force_w = jnp.zeros(3, dtype)
+    torque_b = jnp.zeros(3, dtype)
+    inertia = jnp.asarray(p.inertia_diag, dtype)
+    c = jnp.asarray([0.0, 0.0, p.com_z], dtype)
+    inv_m = 1.0 / p.mass
+    pts = jnp.asarray(_CONTACT_PTS, dtype)
     for i in range(pts.shape[0]):
         r_b = pts[i]
+        rho = r_b - c
         r_w = rot @ r_b
-        p_w = pos + r_w
-        v_w = vel + rot @ jnp.cross(omega_body, r_b)
-        pen = -p_w[2]
-        fn = jnp.maximum(p.contact_stiffness * pen - p.contact_damping * v_w[2], 0.0)
+        pen = -(pos + r_w)[2]
         active = pen > 0.0
-        fn = jnp.where(active, fn, 0.0)
-        vt = v_w[:2]
-        speed = jnp.sqrt(vt[0] * vt[0] + vt[1] * vt[1])
-        ft = -p.contact_friction * fn * vt / jnp.maximum(speed, p.contact_slide_vel)
-        f_w = jnp.concatenate([ft, fn[None]])
+        v_w = vel + rot @ jnp.cross(omega_body, r_b)
+        a_pt = acc0_com + rot @ (
+            jnp.cross(alpha0, rho) + jnp.cross(omega_body, jnp.cross(omega_body, rho))
+        )
+        d = _impedance(p, pen)
+        # Effective inverse masses along world axes (diagonal of J M⁻¹ Jᵀ).
+        f_axes = []
+        for ax in range(3):
+            dir_b = rot.T[:, ax]  # rotᵀ @ e_ax
+            arm = jnp.cross(rho, dir_b)
+            a_eff = inv_m + jnp.sum(arm * arm / inertia)
+            if ax == 2:
+                aref = d * (_CONTACT_K * pen - _CONTACT_B * v_w[2])
+            else:
+                aref = d * (-_CONTACT_B * v_w[ax])
+            f_axes.append(d * (aref - a_pt[ax]) / a_eff)
+        fn = jnp.where(active, jnp.maximum(f_axes[2], 0.0), 0.0)
+        ft_norm = jnp.sqrt(f_axes[0] ** 2 + f_axes[1] ** 2)
+        lim = p.contact_friction * fn
+        scale = jnp.where(ft_norm > lim, lim / jnp.maximum(ft_norm, 1e-30), 1.0)
+        scale = jnp.where(active, scale, 0.0)
+        f_w = jnp.stack([f_axes[0] * scale, f_axes[1] * scale, fn])
         force_w = force_w + f_w
-        torque_b = torque_b + jnp.cross(r_b, rot.T @ f_w)
+        torque_b = torque_b + jnp.cross(rho, rot.T @ f_w)
     return force_w, torque_b
 
 
@@ -168,11 +223,18 @@ def _physics_step(p, state, thrust_per_motor, yaw_torque, extra_torque_b, dt):
     ``thrust_per_motor``: (4,) forces along body z at the motor positions.
     ``yaw_torque``: scalar body-z torque from the motor gears.
     ``extra_torque_b``: additional body torque (rate servos).
+
+    Dynamics are computed about the CoM and mapped to the body-origin
+    free joint with the full coupling ``a_o = a_c − R·(α×c + ω×(ω×c))``
+    — MuJoCo-exact kinematics (the thrust/servo torques about the CoM
+    equal those about the origin because the offset is pure body-z and
+    the motor forces pure body-z).
     """
     pos, quat, vel, omega = state[0:3], state[3:7], state[7:10], state[10:13]
     dtype = state.dtype
     rot = qm.quat_to_rotmat(qm.quat_normalize(quat))
     inertia = jnp.asarray(p.inertia_diag, dtype)
+    c = jnp.asarray([0.0, 0.0, p.com_z], dtype)
 
     total_thrust = jnp.sum(thrust_per_motor)
     force_w = rot[:, 2] * total_thrust + jnp.asarray([0.0, 0.0, p.gravity * p.mass], dtype)
@@ -182,14 +244,26 @@ def _physics_step(p, state, thrust_per_motor, yaw_torque, extra_torque_b, dt):
     my = -(jnp.asarray(_MOTOR_X, dtype) * p.arm_xy) @ thrust_per_motor
     torque_b = jnp.stack([mx, my, yaw_torque]) + extra_torque_b
 
+    # Fluid drag acts at the CoM (no torque about it from the force).
+    vel_com_b = rot.T @ vel + jnp.cross(omega, c)
+    df, dtq = _fluid_wrench_body(p, vel_com_b, omega, dtype)
+    force_w = force_w + rot @ df
+    torque_b = torque_b + dtq
+
     if p.contact_enabled:
-        cf_w, ct_b = _contact_wrench(p, pos, quat, vel, omega, rot)
+        # Two-pass: unconstrained accelerations feed the contact law.
+        alpha0 = (torque_b - jnp.cross(omega, inertia * omega)) / inertia
+        acc0_com = force_w / p.mass
+        cf_w, ct_b = _contact_wrench(p, pos, vel, omega, rot, acc0_com, alpha0)
         force_w = force_w + cf_w
         torque_b = torque_b + ct_b
 
     # Euler rigid-body: I ω̇ = τ − ω × (I ω)
     omega_dot = (torque_b - jnp.cross(omega, inertia * omega)) / inertia
-    acc = force_w / p.mass
+    acc_com = force_w / p.mass
+    acc = acc_com - rot @ (
+        jnp.cross(omega_dot, c) + jnp.cross(omega, jnp.cross(omega, c))
+    )
 
     vel_new = vel + acc * dt            # velocities first (semi-implicit)
     omega_new = omega + omega_dot * dt
@@ -242,16 +316,17 @@ def _quat_env_step(p: QuatParams, s, a):
         fp = Params(
             mass=p.mass,
             inertia_diag=p.inertia_diag,
+            com_z=p.com_z,
             gravity=p.gravity,
             dt=p.dt,
             frame_skip=1,
             arm_xy=0.0,
             yaw_gear=0.0,
-            contact_stiffness=p.contact_stiffness,
-            contact_damping=p.contact_damping,
             contact_friction=p.contact_friction,
-            contact_slide_vel=p.contact_slide_vel,
             contact_enabled=p.contact_enabled,
+            density=p.density,
+            viscosity=p.viscosity,
+            box_dims=p.box_dims,
         )
         state = _physics_step(fp, state, thrusts, jnp.asarray(0.0, s.dtype), servo_torque, dt)
 

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: fused MujocoQuadForce-v1 (hovering) rollout.
+"""Pallas TPU kernels: fused tpuquad-family rollouts.
 
 The RL workhorse env (the reference trains on it,
 ``example/mujoco/train_hovering.py:37``) fused like
@@ -6,24 +6,27 @@ The RL workhorse env (the reference trains on it,
 ``fori_loop`` in VMEM, sublane-dense 13-component layout
 (pos3, quat4, vel3, omega3 → (104, bt) tiles).
 
-Semantics: the float32 production path of ``envs/tpuquad.py``
-``_force_env_step(hovering=True)`` with default params and a CONSTANT
-per-motor control (the throughput workload — policy-in-the-loop rollouts
-live in the PPO scan path): frame_skip=2 semi-implicit Euler substeps,
-exp-map quaternion integration, rigid-body Euler equation with the
-geom-derived inertia, the shaped reward with its raw-action quirk, and
-fused auto-reset to the DETERMINISTIC initial pose (no RNG needed —
-``mujoco_quad.py:65-69``).
+Semantics: the float32 production path of ``envs/tpuquad.py`` with
+default params and a CONSTANT per-motor control (the throughput
+workload — policy-in-the-loop rollouts live in the PPO scan path and
+the fused PPO rollout kernel): frame_skip=2 semi-implicit Euler
+substeps, exp-map quaternion integration, rigid-body Euler equation
+with the geom-derived inertia, MuJoCo's inertia-box fluid drag, the
+CoM-offset origin coupling, and — for the ground/quat models — the
+impedance-regularised plane contact, all in-kernel (see
+``envs/tpuquad.py`` for the physics derivation and
+``tests/test_mujoco_divergence.py`` for the measured fidelity vs real
+``mj_step``).
 
-Contact is exact by omission: the env terminates at z ≤ 0.3 while the
-lowest contact point sits 0.025 below the CoM, so no live state can
-touch the plane; resets restore z = 1.  (The ground env Force-v0 — which
-does ride contact — stays on the scan path.)
+The hovering kernel skips contact entirely: the env terminates at
+z ≤ 0.3 while the lowest contact point sits 0.025 below the origin, so
+no live state can touch the plane; resets restore z = 1.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -41,12 +44,8 @@ def available() -> bool:
     return _PALLAS
 
 
-# envs/tpuquad.py Params() defaults (validated vs the geom derivation by
-# tests/test_tpuquad_parity.py).
-_MASS = 0.3
-_IX = 0.0016787227432770446
-_IY = 0.0017578105900562893
-_IZ = 0.0033807
+# envs/tpuquad.py Params()/QuatParams() defaults (validated vs the geom
+# derivation by tests/test_tpuquad_parity.py).
 _G = -9.81
 _DT = 0.01
 _ARM = 0.1
@@ -55,32 +54,179 @@ _MOTOR_X = (1.0, 1.0, -1.0, -1.0)
 _MOTOR_Y = (1.0, -1.0, -1.0, 1.0)
 _YAW_SIGN = (-1.0, 1.0, -1.0, 1.0)
 _INIT = (0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0) + (0.0,) * 6  # hovering reset
+_INIT0 = (0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0) + (0.0,) * 6  # z=0 reset
+
+# MuJoCo soft-constraint contact constants (envs/tpuquad.py).
+_CONTACT_K = 2770.083102493075
+_CONTACT_B = 105.26315789473685
+_IMP_D0, _IMP_DMAX, _IMP_WIDTH = 0.9, 0.95, 0.001
+
+_CONTACT_PTS = (
+    (0.1, 0.1, 0.0075),
+    (0.1, -0.1, 0.0075),
+    (-0.1, -0.1, 0.0075),
+    (-0.1, 0.1, 0.0075),
+    (0.0, 0.0, -0.025),
+)
+
+_GROUND = dict(
+    mass=0.3,
+    ix=0.0016787227432770446, iy=0.0017578105900562893, iz=0.0033807,
+    cz=0.003333333333333333,
+    D=(0.2630508637803436, 0.25696739688998504, 0.03341656275960588),
+    mu=1.0, density=1.0, viscosity=1e-5,
+)
+_QUATM = dict(
+    mass=0.4,
+    ix=0.0017412227432770442, iy=0.0018994772567229557, iz=0.0035415333333333335,
+    cz=0.0025,
+    D=(0.2355776256389572, 0.2252757916384078, 0.038568121551353786),
+    mu=1.0, density=1.0, viscosity=1e-5,
+)
 
 
-def _substep(comp, ctrl):
-    """One semi-implicit Euler physics substep on 13 component tiles."""
+def _impedance(pen):
+    x = jnp.clip(pen * (1.0 / _IMP_WIDTH), 0.0, 1.0)
+    s = jnp.where(x <= 0.5, 2.0 * x * x, 1.0 - 2.0 * (1.0 - x) * (1.0 - x))
+    return _IMP_D0 + s * (_IMP_DMAX - _IMP_D0)
+
+
+def _rigid_substep(comp, c, total_thrust, mx_c, my_c, mz_c, servo_kv,
+                   servo_cmd, contact: bool):
+    """One semi-implicit Euler substep on 13 component tiles — the
+    scalar-row mirror of ``envs/tpuquad.py:_physics_step``: thrust/servo
+    wrenches, inertia-box fluid drag, optional impedance plane contact
+    (two-pass with unconstrained accelerations), CoM-offset origin
+    coupling, exp-map quaternion update."""
     px, py, pz, qw, qx, qy, qz, vx, vy, vz, ox, oy, oz = comp
+    m, ix, iy, iz = c["mass"], c["ix"], c["iy"], c["iz"]
+    cz = c["cz"]
+    Dx, Dy, Dz = c["D"]
 
-    # Normalised-quat rotation third column (thrust direction).
     qn2 = qw * qw + qx * qx + qy * qy + qz * qz
-    inv_qn2 = 1.0 / qn2
-    bzx = 2.0 * (qx * qz + qw * qy) * inv_qn2
-    bzy = 2.0 * (qy * qz - qw * qx) * inv_qn2
-    bzz = 1.0 - 2.0 * (qx * qx + qy * qy) * inv_qn2
+    inv = 1.0 / qn2
+    r00 = 1.0 - 2.0 * (qy * qy + qz * qz) * inv
+    r01 = 2.0 * (qx * qy - qz * qw) * inv
+    r02 = 2.0 * (qx * qz + qy * qw) * inv
+    r10 = 2.0 * (qx * qy + qz * qw) * inv
+    r11 = 1.0 - 2.0 * (qx * qx + qz * qz) * inv
+    r12 = 2.0 * (qy * qz - qx * qw) * inv
+    r20 = 2.0 * (qx * qz - qy * qw) * inv
+    r21 = 2.0 * (qy * qz + qx * qw) * inv
+    r22 = 1.0 - 2.0 * (qx * qx + qy * qy) * inv
 
-    total = float(sum(ctrl))
-    mx = _ARM * float(sum(y * c for y, c in zip(_MOTOR_Y, ctrl)))
-    my = -_ARM * float(sum(x * c for x, c in zip(_MOTOR_X, ctrl)))
-    mz = _YAW_GEAR * float(sum(s * c for s, c in zip(_YAW_SIGN, ctrl)))
+    fx = r02 * total_thrust
+    fy = r12 * total_thrust
+    fz = r22 * total_thrust + _G * m
+    tx = mx_c + jnp.zeros_like(px)
+    ty = my_c + jnp.zeros_like(px)
+    tz = mz_c + jnp.zeros_like(px)
+    if servo_kv is not None:
+        tx = tx + servo_kv * (servo_cmd[0] - ox)
+        ty = ty + servo_kv * (servo_cmd[1] - oy)
+        tz = tz + servo_kv * (servo_cmd[2] - oz)
 
-    accx = bzx * (total / _MASS)
-    accy = bzy * (total / _MASS)
-    accz = bzz * (total / _MASS) + _G
+    # Fluid drag (body frame): v_com_b = Rᵀ v + ω × c, c = (0,0,cz).
+    vb0 = r00 * vx + r10 * vy + r20 * vz + oy * cz
+    vb1 = r01 * vx + r11 * vy + r21 * vz - ox * cz
+    vb2 = r02 * vx + r12 * vy + r22 * vz
+    diam = (Dx + Dy + Dz) / 3.0
+    kv_visc = 3.0 * math.pi * c["viscosity"] * diam
+    kt_visc = math.pi * c["viscosity"] * diam**3
+    rho_d = c["density"]
+    fb0 = -kv_visc * vb0 - 0.5 * rho_d * Dy * Dz * jnp.abs(vb0) * vb0
+    fb1 = -kv_visc * vb1 - 0.5 * rho_d * Dz * Dx * jnp.abs(vb1) * vb1
+    fb2 = -kv_visc * vb2 - 0.5 * rho_d * Dx * Dy * jnp.abs(vb2) * vb2
+    tx = tx - kt_visc * ox - rho_d * Dx * (Dy**4 + Dz**4) / 64.0 * jnp.abs(ox) * ox
+    ty = ty - kt_visc * oy - rho_d * Dy * (Dz**4 + Dx**4) / 64.0 * jnp.abs(oy) * oy
+    tz = tz - kt_visc * oz - rho_d * Dz * (Dx**4 + Dy**4) / 64.0 * jnp.abs(oz) * oz
+    fx = fx + r00 * fb0 + r01 * fb1 + r02 * fb2
+    fy = fy + r10 * fb0 + r11 * fb1 + r12 * fb2
+    fz = fz + r20 * fb0 + r21 * fb1 + r22 * fb2
 
-    # I ω̇ = τ − ω × (I ω)
-    odx = (mx - (oy * (_IZ * oz) - oz * (_IY * oy))) / _IX
-    ody = (my - (oz * (_IX * ox) - ox * (_IZ * oz))) / _IY
-    odz = (mz - (ox * (_IY * oy) - oy * (_IX * ox))) / _IZ
+    # gyroscopic term ω × (I ω)
+    gyx = oy * (iz * oz) - oz * (iy * oy)
+    gyy = oz * (ix * ox) - ox * (iz * oz)
+    gyz = ox * (iy * oy) - oy * (ix * ox)
+
+    if contact:
+        # Unconstrained accelerations (two-pass contact law).
+        a0x, a0y, a0z = fx / m, fy / m, fz / m
+        al0x = (tx - gyx) / ix
+        al0y = (ty - gyy) / iy
+        al0z = (tz - gyz) / iz
+        for (bx, by, bz) in _CONTACT_PTS:
+            # arm from the CoM (torques are about the CoM)
+            hx_, hy_, hz_ = bx, by, bz - cz
+            # world position z of the point (from the origin)
+            rwz = r20 * bx + r21 * by + r22 * bz
+            pen = -(pz + rwz)
+            active = pen > 0.0
+            d = _impedance(pen)
+            # ω × r_b (body), to world → point velocity
+            cbx = oy * bz - oz * by
+            cby = oz * bx - ox * bz
+            cbz = ox * by - oy * bx
+            vwx = vx + r00 * cbx + r01 * cby + r02 * cbz
+            vwy = vy + r10 * cbx + r11 * cby + r12 * cbz
+            vwz = vz + r20 * cbx + r21 * cby + r22 * cbz
+            # unconstrained point acceleration: a0 + R·(α0×ρ + ω×(ω×ρ))
+            # with ρ = r_b − c (dynamics about the CoM).
+            cpx = oy * hz_ - oz * hy_
+            cpy = oz * hx_ - ox * hz_
+            cpz = ox * hy_ - oy * hx_
+            ux = al0y * hz_ - al0z * hy_ + oy * cpz - oz * cpy
+            uy = al0z * hx_ - al0x * hz_ + oz * cpx - ox * cpz
+            uz = al0x * hy_ - al0y * hx_ + ox * cpy - oy * cpx
+            apx = a0x + r00 * ux + r01 * uy + r02 * uz
+            apy = a0y + r10 * ux + r11 * uy + r12 * uz
+            apz = a0z + r20 * ux + r21 * uy + r22 * uz
+            # per-axis effective inverse mass and force
+            f_ax = []
+            for ax, (ra, rb_, rc) in enumerate(((r00, r01, r02),
+                                                (r10, r11, r12),
+                                                (r20, r21, r22))):
+                # dir_b = row ax of R ; arm = ρ × dir_b
+                armx = hy_ * rc - hz_ * rb_
+                army = hz_ * ra - hx_ * rc
+                armz = hx_ * rb_ - hy_ * ra
+                a_eff = 1.0 / m + armx * armx / ix + army * army / iy + armz * armz / iz
+                if ax == 2:
+                    aref = d * (_CONTACT_K * pen - _CONTACT_B * vwz)
+                    f_ax.append(d * (aref - apz) / a_eff)
+                else:
+                    vw = vwx if ax == 0 else vwy
+                    ap = apx if ax == 0 else apy
+                    aref = d * (-_CONTACT_B * vw)
+                    f_ax.append(d * (aref - ap) / a_eff)
+            fn = jnp.where(active, jnp.maximum(f_ax[2], 0.0), 0.0)
+            ftn = jnp.sqrt(f_ax[0] * f_ax[0] + f_ax[1] * f_ax[1])
+            lim = c["mu"] * fn
+            scale = jnp.where(ftn > lim, lim / jnp.maximum(ftn, 1e-30), 1.0)
+            scale = jnp.where(active, scale, 0.0)
+            ftx = f_ax[0] * scale
+            fty = f_ax[1] * scale
+            fx = fx + ftx
+            fy = fy + fty
+            fz = fz + fn
+            # torque about the CoM: ρ × (Rᵀ f_w)
+            fbx = r00 * ftx + r10 * fty + r20 * fn
+            fby = r01 * ftx + r11 * fty + r21 * fn
+            fbz = r02 * ftx + r12 * fty + r22 * fn
+            tx = tx + hy_ * fbz - hz_ * fby
+            ty = ty + hz_ * fbx - hx_ * fbz
+            tz = tz + hx_ * fby - hy_ * fbx
+
+    odx = (tx - gyx) / ix
+    ody = (ty - gyy) / iy
+    odz = (tz - gyz) / iz
+    # Origin coupling: a_o = a_c − R·(α×c + ω×(ω×c)), c = (0,0,cz).
+    uc0 = (ody + oz * ox) * cz
+    uc1 = (-odx + oz * oy) * cz
+    uc2 = -(ox * ox + oy * oy) * cz
+    accx = fx / m - (r00 * uc0 + r01 * uc1 + r02 * uc2)
+    accy = fy / m - (r10 * uc0 + r11 * uc1 + r12 * uc2)
+    accz = fz / m - (r20 * uc0 + r21 * uc1 + r22 * uc2)
 
     nvx, nvy, nvz = vx + accx * _DT, vy + accy * _DT, vz + accz * _DT
     nox, noy, noz = ox + odx * _DT, oy + ody * _DT, oz + odz * _DT
@@ -90,8 +236,7 @@ def _substep(comp, ctrl):
 
     # Exp-map quaternion update: q ⊗ exp(½ ω dt), renormalised.
     rx, ry, rz = nox * _DT, noy * _DT, noz * _DT
-    ang2 = rx * rx + ry * ry + rz * rz
-    ang = jnp.sqrt(ang2)
+    ang = jnp.sqrt(rx * rx + ry * ry + rz * rz)
     half = 0.5 * ang
     safe = jnp.where(ang > 1e-9, ang, 1.0)
     sinc_half = jnp.where(ang > 1e-9, jnp.sin(half) / safe, 0.5)
@@ -112,8 +257,12 @@ def _hover_step_tiles(comp, raw_action):
     ``raw_action`` is the Python-constant 4-vector; dynamics use the
     clipped control, the reward uses the RAW values (reference quirk)."""
     ctrl = tuple(min(max(a, 0.0), 1.0) for a in raw_action)
-    comp = _substep(comp, ctrl)
-    comp = _substep(comp, ctrl)
+    total = float(sum(ctrl))
+    mx_c = _ARM * float(sum(y * u for y, u in zip(_MOTOR_Y, ctrl)))
+    my_c = -_ARM * float(sum(x * u for x, u in zip(_MOTOR_X, ctrl)))
+    mz_c = _YAW_GEAR * float(sum(s * u for s, u in zip(_YAW_SIGN, ctrl)))
+    comp = _rigid_substep(comp, _GROUND, total, mx_c, my_c, mz_c, None, None, False)
+    comp = _rigid_substep(comp, _GROUND, total, mx_c, my_c, mz_c, None, None, False)
     px, py, pz = comp[0], comp[1], comp[2]
     a_sq = float(sum(a * a for a in raw_action))
     a_sum = float(sum(raw_action))
@@ -160,116 +309,6 @@ def _kernel(horizon, action, s_ref, out_ref, rew_ref):
     rew_ref[:, :] = rew
 
 
-# --------------------------------------------------------------------------
-# Contact-enabled kernels: MujocoQuadForce-v0 (ground model) and
-# MujocoQuadQuat-v0 (thrust + rate servos), both starting ON the plane
-# (deterministic reset z=0) — the compliant contact model runs in-kernel.
-
-_CONTACT_PTS = (
-    (0.1, 0.1, 0.0075),
-    (0.1, -0.1, 0.0075),
-    (-0.1, -0.1, 0.0075),
-    (-0.1, 0.1, 0.0075),
-    (0.0, 0.0, -0.025),
-)
-# solref-derived constants (envs/tpuquad.py Params/QuatParams)
-_GROUND = dict(mass=0.3, ix=_IX, iy=_IY, iz=_IZ, k=150.0, b=6.0, mu=1.0,
-               vs=0.5)
-_QUATM = dict(mass=0.4, ix=0.0017412227432770442, iy=0.0018994772567229557,
-              iz=0.0035415333333333335, k=200.0, b=8.0, mu=1.0, vs=0.5)
-_INIT0 = (0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0) + (0.0,) * 6  # z=0 reset
-
-
-def _substep_contact(comp, c, total_thrust, mx_c, my_c, mz_c, servo_kv,
-                     servo_cmd):
-    """Semi-implicit Euler substep with full rotation matrix, optional
-    rate servos (``torque += kv (cmd - omega)``), and the 5-point
-    compliant plane contact (envs/tpuquad.py:_contact_wrench)."""
-    px, py, pz, qw, qx, qy, qz, vx, vy, vz, ox, oy, oz = comp
-    m, ix, iy, iz = c["mass"], c["ix"], c["iy"], c["iz"]
-
-    qn2 = qw * qw + qx * qx + qy * qy + qz * qz
-    inv = 1.0 / qn2
-    # Full normalised rotation matrix.
-    r00 = 1.0 - 2.0 * (qy * qy + qz * qz) * inv
-    r01 = 2.0 * (qx * qy - qz * qw) * inv
-    r02 = 2.0 * (qx * qz + qy * qw) * inv
-    r10 = 2.0 * (qx * qy + qz * qw) * inv
-    r11 = 1.0 - 2.0 * (qx * qx + qz * qz) * inv
-    r12 = 2.0 * (qy * qz - qx * qw) * inv
-    r20 = 2.0 * (qx * qz - qy * qw) * inv
-    r21 = 2.0 * (qy * qz + qx * qw) * inv
-    r22 = 1.0 - 2.0 * (qx * qx + qy * qy) * inv
-
-    fx = r02 * total_thrust
-    fy = r12 * total_thrust
-    fz = r22 * total_thrust + _G * m
-    tx = mx_c + jnp.zeros_like(px)
-    ty = my_c + jnp.zeros_like(px)
-    tz = mz_c + jnp.zeros_like(px)
-    if servo_kv is not None:
-        tx = tx + servo_kv * (servo_cmd[0] - ox)
-        ty = ty + servo_kv * (servo_cmd[1] - oy)
-        tz = tz + servo_kv * (servo_cmd[2] - oz)
-
-    for (bx, by, bz) in _CONTACT_PTS:
-        # r_w = R r_b ; contact-point world pos/vel
-        rwx = r00 * bx + r01 * by + r02 * bz
-        rwy = r10 * bx + r11 * by + r12 * bz
-        rwz = r20 * bx + r21 * by + r22 * bz
-        # ω × r_b (body), then to world
-        cbx = oy * bz - oz * by
-        cby = oz * bx - ox * bz
-        cbz = ox * by - oy * bx
-        vwx = vx + r00 * cbx + r01 * cby + r02 * cbz
-        vwy = vy + r10 * cbx + r11 * cby + r12 * cbz
-        vwz = vz + r20 * cbx + r21 * cby + r22 * cbz
-        pen = -(pz + rwz)
-        fn = jnp.maximum(c["k"] * pen - c["b"] * vwz, 0.0)
-        fn = jnp.where(pen > 0.0, fn, 0.0)
-        speed = jnp.sqrt(vwx * vwx + vwy * vwy)
-        scale = -c["mu"] * fn / jnp.maximum(speed, c["vs"])
-        ftx = scale * vwx
-        fty = scale * vwy
-        fx = fx + ftx
-        fy = fy + fty
-        fz = fz + fn
-        # torque_b += r_b × (Rᵀ f_w)
-        fbx = r00 * ftx + r10 * fty + r20 * fn
-        fby = r01 * ftx + r11 * fty + r21 * fn
-        fbz = r02 * ftx + r12 * fty + r22 * fn
-        tx = tx + by * fbz - bz * fby
-        ty = ty + bz * fbx - bx * fbz
-        tz = tz + bx * fby - by * fbx
-
-    odx = (tx - (oy * (iz * oz) - oz * (iy * oy))) / ix
-    ody = (ty - (oz * (ix * ox) - ox * (iz * oz))) / iy
-    odz = (tz - (ox * (iy * oy) - oy * (ix * ox))) / iz
-    accx, accy, accz = fx / m, fy / m, fz / m
-
-    nvx, nvy, nvz = vx + accx * _DT, vy + accy * _DT, vz + accz * _DT
-    nox, noy, noz = ox + odx * _DT, oy + ody * _DT, oz + odz * _DT
-    npx = px + nvx * _DT
-    npy = py + nvy * _DT
-    npz = pz + nvz * _DT
-
-    rx, ry, rz = nox * _DT, noy * _DT, noz * _DT
-    ang = jnp.sqrt(rx * rx + ry * ry + rz * rz)
-    half = 0.5 * ang
-    safe = jnp.where(ang > 1e-9, ang, 1.0)
-    sinc_half = jnp.where(ang > 1e-9, jnp.sin(half) / safe, 0.5)
-    dw = jnp.cos(half)
-    dx, dy, dz = rx * sinc_half, ry * sinc_half, rz * sinc_half
-    mqw = qw * dw - qx * dx - qy * dy - qz * dz
-    mqx = qw * dx + qx * dw + qy * dz - qz * dy
-    mqy = qw * dy - qx * dz + qy * dw + qz * dx
-    mqz = qw * dz + qx * dy - qy * dx + qz * dw
-    inv_n = jax.lax.rsqrt(mqw * mqw + mqx * mqx + mqy * mqy + mqz * mqz)
-
-    return [npx, npy, npz, mqw * inv_n, mqx * inv_n, mqy * inv_n, mqz * inv_n,
-            nvx, nvy, nvz, nox, noy, noz]
-
-
 def _contact_kernel(horizon, model, action, s_ref, out_ref, rew_ref):
     """Force-v0 / Quat-v0 rollout: constant action, frame_skip=2,
     reward ≡ 0, done on non-finite only (auto-reset to the z=0 pose).
@@ -301,8 +340,8 @@ def _contact_kernel(horizon, model, action, s_ref, out_ref, rew_ref):
     def body(_, carry):
         s, z_acc = carry
         comp = [rows(s, i) for i in range(13)]
-        comp = _substep_contact(comp, c, total, mx_c, my_c, mz_c, servo_kv, servo_cmd)
-        comp = _substep_contact(comp, c, total, mx_c, my_c, mz_c, servo_kv, servo_cmd)
+        comp = _rigid_substep(comp, c, total, mx_c, my_c, mz_c, servo_kv, servo_cmd, True)
+        comp = _rigid_substep(comp, c, total, mx_c, my_c, mz_c, servo_kv, servo_cmd, True)
         stacked = jnp.concatenate(comp, axis=0)
         finite = jnp.isfinite(jnp.sum(stacked.reshape(13, 8, -1), axis=0))
         stacked = jnp.where(jnp.tile(~finite, (13, 1)), init_rows, stacked)
@@ -320,7 +359,7 @@ def contact_rollout_pallas8(states_t: jnp.ndarray, horizon: int,
                             model: str = "ground", tile8: int = 256,
                             action: tuple = (0.0, 0.0, 0.0, 0.0)):
     """Fused MujocoQuadForce-v0 / MujocoQuadQuat-v0 rollout with the
-    compliant ground contact in-kernel (constant action).
+    impedance ground contact in-kernel (constant action).
 
     Returns (final_states_t (13, B), z_sum (B,)) — the second output is
     Σ_t z (the reward is identically 0 in these envs, reference

@@ -19,26 +19,37 @@ REFERENCE model definitions, not copied from the JAX env:
 * Integration is semi-implicit Euler at dt=0.01 with frame_skip=2
   (``mujoco_quad.py:46``), quaternion advanced by the exponential map
   (MuJoCo ``mj_integratePos``), renormalised.
-* Contact is the documented compliant analogue (MuJoCo's LCP solver is
-  out of scope per SURVEY.md §7 step 9): per-point critically-damped
-  spring-damper with constants mapped from MuJoCo 1.5's DEFAULT
-  ``solref = (0.02, 1)`` impedance and regularised Coulomb friction
-  (μ = 1, the XML floor's default).  See ``envs/tpuquad.py:Params``.
+* The free joint sits at the body-frame origin while the CoM is offset
+  (+3.33 mm z ground / +2.5 mm quat); dynamics are computed about the
+  CoM and mapped back to the origin with the full coupling term
+  ``a_origin = a_com − R·(α×c + ω×(ω×c))`` — exactly MuJoCo's rigid-body
+  kinematics (validated to float64 round-off against ``mj_step``).
+* Fluid drag per the XML's ``density="1" viscosity="1e-5"``: MuJoCo's
+  inertia-equivalent-box model (quadratic per-axis drag + Stokes
+  equivalent-sphere viscous terms), also validated to round-off.
+* Contact mirrors MuJoCo 3.x's soft-constraint law in a per-point
+  diagonal (Jacobi) approximation: impedance d(pen) from the default
+  ``solimp = (0.9, 0.95, 0.001, 0.5, 2)`` spline, reference
+  acceleration ``aref = d·(K·pen − B·v_n)`` with
+  ``K = 1/(dmax²·τ²·ζ²)``, ``B = 2/(dmax·τ)`` from the default
+  ``solref = (0.02, 1)``, and force
+  ``f_n = max(0, d·(aref − a0_n)/A_n)`` where ``a0_n`` is the
+  unconstrained normal acceleration of the point and ``A_n`` its
+  effective inverse mass.  Friction is the elliptic clamp
+  ``‖f_t‖ ≤ μ·f_n`` of the same law on the tangent axes (MuJoCo's
+  default is a pyramidal cone — a documented approximation).
 
-Documented divergences from a true MuJoCo 1.5 simulation (shared by env
-and oracle — the oracle pins the *spec*, these pin its distance to the C
-engine):
+Measured divergence from real ``mj_step`` (mujoco 3.10, reference XMLs;
+pinned by ``tests/test_mujoco_divergence.py``):
 
-* The free-joint frame sits at the body origin while the CoM is offset
-  (+3.33 mm z for the ground model, +2.5 mm for quat); env and oracle
-  integrate about the CoM-as-origin.  Thrust-torque arms are unaffected
-  (forces are along body z), gravity torque is zero either way; the
-  velocity reported for the origin differs from the CoM's by ω × r_com —
-  sub-mm/s at the rates these tasks see.
-* The XML sets ``density="1" viscosity="1e-5"`` so MuJoCo adds
-  equivalent-sphere aerodynamic drag; at these speeds the resulting
-  force is ≪ 1 mN and is omitted.
-* Contact: compliant analogue, not LCP (above).
+* Off-ground flight: float64 round-off (≤1e-12) until chaotic tumbling
+  amplifies it (Lyapunov growth), exact for the hovering task envelope.
+* Flat drop-and-settle: ≤3e-4 m position error; resting penetration
+  within 3e-4 of MuJoCo's (the diagonal approximation vs the coupled
+  Newton solve, and the 5-point analogue vs box-corner contacts).
+* Tilted drop with sliding: ≤2 cm position / 0.16 quat over 1 s
+  (multi-point contact is where the diagonal approximation is
+  coarsest).
 """
 
 from __future__ import annotations
@@ -156,9 +167,39 @@ def quat_exp_integrate(q, omega_body, dt):
 # Physics
 
 
+# MuJoCo default constraint-solver constants (mirrored; see module docs).
+SOLREF_TAU, SOLREF_ZETA = 0.02, 1.0
+SOLIMP_D0, SOLIMP_DMAX, SOLIMP_WIDTH = 0.9, 0.95, 0.001
+SOLIMP_MID, SOLIMP_POW = 0.5, 2.0
+CONTACT_K = 1.0 / (SOLIMP_DMAX**2 * SOLREF_TAU**2 * SOLREF_ZETA**2)  # 2770.08
+CONTACT_B = 2.0 / (SOLIMP_DMAX * SOLREF_TAU)  # 105.263
+
+
+def impedance(pen):
+    """solimp spline d(pen): power-2 midpoint-0.5 ramp d0 -> dmax over
+    ``width`` of penetration (MuJoCo constraint impedance)."""
+    x = np.clip(pen / SOLIMP_WIDTH, 0.0, 1.0)
+    if x <= SOLIMP_MID:
+        s = (x / SOLIMP_MID) ** SOLIMP_POW * SOLIMP_MID
+    else:
+        s = 1.0 - ((1.0 - x) / (1.0 - SOLIMP_MID)) ** SOLIMP_POW * (1.0 - SOLIMP_MID)
+    return SOLIMP_D0 + s * (SOLIMP_DMAX - SOLIMP_D0)
+
+
+def box_dims(mass, inertia_diag):
+    """Inertia-equivalent box FULL widths (MuJoCo fluid model):
+    D_i = sqrt(6 (I_j + I_k - I_i)/m)."""
+    I = np.asarray(inertia_diag, float)
+    return np.array([
+        np.sqrt(6.0 * (I[1] + I[2] - I[0]) / mass),
+        np.sqrt(6.0 * (I[0] + I[2] - I[1]) / mass),
+        np.sqrt(6.0 * (I[0] + I[1] - I[2]) / mass),
+    ])
+
+
 class OracleParams:
-    """Float64 mirror of ``envs/tpuquad.py`` Params/QuatParams (contact
-    constants per the solref derivation there)."""
+    """Float64 mirror of ``envs/tpuquad.py`` Params/QuatParams (contact,
+    fluid, and CoM-coupling constants per the MuJoCo mirroring there)."""
 
     def __init__(self, model="ground"):
         geoms = GROUND_GEOMS if model in ("ground", "hover") else QUAT_GEOMS
@@ -167,32 +208,62 @@ class OracleParams:
         self.gravity = -9.81
         self.dt = 0.01
         self.frame_skip = 2
-        m_eff = self.mass / len(CONTACT_PTS)
-        tau, zeta = 0.02, 1.0  # MuJoCo 1.5 default solref
-        self.contact_stiffness = m_eff / (tau * tau * zeta * zeta)
-        self.contact_damping = 2.0 * m_eff * zeta / tau
         self.contact_friction = 1.0
-        self.contact_slide_vel = 0.5
+        self.density = 1.0  # XML <option density="1" viscosity="1e-5"/>
+        self.viscosity = 1e-5
+        self.box = box_dims(self.mass, self.inertia_diag)
         self.thrust_high = 4.0
         self.rate_kv = 0.1
 
 
-def _contact_wrench(p: OracleParams, pos, vel, omega, rot):
+def _fluid_wrench_body(p: OracleParams, vel_com_b, omega_b):
+    """MuJoCo inertia-box fluid model (body frame): per-axis quadratic
+    density drag + Stokes equivalent-sphere viscous terms."""
+    D = p.box
+    diam = D.mean()
+    f = -3.0 * np.pi * p.viscosity * diam * vel_com_b
+    t = -np.pi * p.viscosity * diam**3 * omega_b
+    for i in range(3):
+        j, k = (i + 1) % 3, (i + 2) % 3
+        f[i] += -0.5 * p.density * D[j] * D[k] * abs(vel_com_b[i]) * vel_com_b[i]
+        t[i] += -p.density * D[i] * (D[j] ** 4 + D[k] ** 4) / 64.0 * abs(omega_b[i]) * omega_b[i]
+    return f, t
+
+
+def _contact_wrench(p: OracleParams, pos, vel, omega, rot, acc0_com, alpha0):
+    """Impedance-regularised plane contact (module docs): needs the
+    UNCONSTRAINED CoM/angular accelerations to form each point's a0."""
     force_w = np.zeros(3)
     torque_b = np.zeros(3)
+    I = p.inertia_diag
+    c = p.com
     for r_b in CONTACT_PTS:
         r_w = rot @ r_b
-        p_w = pos + r_w
+        pen = -(pos + r_w)[2]
+        if pen <= 0.0:
+            continue
+        rho = r_b - c
         v_w = vel + rot @ np.cross(omega, r_b)
-        pen = -p_w[2]
-        if pen > 0.0:
-            fn = max(p.contact_stiffness * pen - p.contact_damping * v_w[2], 0.0)
-            vt = v_w[:2]
-            speed = np.hypot(vt[0], vt[1])
-            ft = -p.contact_friction * fn * vt / max(speed, p.contact_slide_vel)
-            f_w = np.array([ft[0], ft[1], fn])
-            force_w += f_w
-            torque_b += np.cross(r_b, rot.T @ f_w)
+        a_pt = acc0_com + rot @ (np.cross(alpha0, rho) + np.cross(omega, np.cross(omega, rho)))
+        d = impedance(pen)
+        n_b = rot.T @ np.array([0.0, 0.0, 1.0])
+        arm = np.cross(rho, n_b)
+        a_n = 1.0 / p.mass + arm @ (arm / I)
+        aref_n = d * (CONTACT_K * pen - CONTACT_B * v_w[2])
+        fn = max(0.0, d * (aref_n - a_pt[2]) / a_n)
+        ft = np.zeros(2)
+        for ax in range(2):
+            t_b = rot.T @ np.eye(3)[ax]
+            arm_t = np.cross(rho, t_b)
+            a_t = 1.0 / p.mass + arm_t @ (arm_t / I)
+            ft[ax] = d * (d * (-CONTACT_B * v_w[ax]) - a_pt[ax]) / a_t
+        nrm = np.hypot(ft[0], ft[1])
+        lim = p.contact_friction * fn
+        if nrm > lim:
+            ft *= lim / max(nrm, 1e-30)
+        f_w = np.array([ft[0], ft[1], fn])
+        force_w += f_w
+        torque_b += np.cross(rho, rot.T @ f_w)
     return force_w, torque_b
 
 
@@ -201,18 +272,35 @@ def _physics_step(p: OracleParams, state, thrusts, yaw_torque, extra_torque_b, c
     pos, quat, vel, omega = state[0:3], state[3:7], state[7:10], state[10:13]
     rot = quat_to_rotmat(quat)
     inertia = p.inertia_diag
+    c = p.com
 
     force_w = rot[:, 2] * thrusts.sum() + np.array([0.0, 0.0, p.gravity * p.mass])
     mx = (motor_pos[:, 1] * thrusts).sum()
     my = -(motor_pos[:, 0] * thrusts).sum()
+    # Thrust torques about the CoM equal those about the origin here: the
+    # CoM offset is pure body-z and the motor forces are pure body-z.
     torque_b = np.array([mx, my, yaw_torque]) + extra_torque_b
+
+    # Fluid drag (acts at the CoM -> no torque about it from the force).
+    vel_com_b = rot.T @ vel + np.cross(omega, c)
+    df, dtq = _fluid_wrench_body(p, vel_com_b, omega)
+    force_w = force_w + rot @ df
+    torque_b = torque_b + dtq
+
     if contact:
-        cf, ct = _contact_wrench(p, pos, vel, omega, rot)
+        # Two-pass: unconstrained accelerations feed the contact law.
+        alpha0 = (torque_b - np.cross(omega, inertia * omega)) / inertia
+        acc0_com = force_w / p.mass
+        cf, ct = _contact_wrench(p, pos, vel, omega, rot, acc0_com, alpha0)
         force_w = force_w + cf
         torque_b = torque_b + ct
 
     omega_dot = (torque_b - np.cross(omega, inertia * omega)) / inertia
-    acc = force_w / p.mass
+    acc_com = force_w / p.mass
+    # Origin kinematics: the free joint lives at the body origin, not the
+    # CoM -- a_origin = a_com - R.(alpha x c + omega x (omega x c))
+    # (MuJoCo-exact; validated to round-off by test_mujoco_divergence).
+    acc = acc_com - rot @ (np.cross(omega_dot, c) + np.cross(omega, np.cross(omega, c)))
 
     vel_new = vel + acc * p.dt
     omega_new = omega + omega_dot * p.dt

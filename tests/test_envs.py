@@ -99,9 +99,11 @@ class TestTpuQuad:
         s = env.reset(jax.random.PRNGKey(0))
         out = env.step(s, jnp.zeros(4))
         dt = env.params.dt
-        # Two physics substeps of semi-implicit Euler free fall.
+        # Two physics substeps of semi-implicit Euler free fall; the
+        # quadratic fluid drag (MuJoCo inertia-box model) trims ~1e-5 off
+        # |vz| on the second substep, hence the loosened rtol.
         expected_vz = 2 * dt * env.params.gravity
-        np.testing.assert_allclose(float(out.state[9]), expected_vz, rtol=1e-5)
+        np.testing.assert_allclose(float(out.state[9]), expected_vz, rtol=1e-4)
 
     def test_hover_equilibrium(self):
         """Total thrust mg, symmetric motors → stays put (no rotation)."""

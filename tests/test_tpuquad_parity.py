@@ -36,15 +36,19 @@ def test_inertia_constants_match_geom_derivation():
     )
 
 
-def test_contact_constants_match_solref_derivation():
-    p = ref.OracleParams("ground")
-    env_p = tpuquad.Params()
-    np.testing.assert_allclose(p.contact_stiffness, env_p.contact_stiffness, rtol=1e-12)
-    np.testing.assert_allclose(p.contact_damping, env_p.contact_damping, rtol=1e-12)
-    pq = ref.OracleParams("quat")
-    env_q = tpuquad.QuatParams()
-    np.testing.assert_allclose(pq.contact_stiffness, env_q.contact_stiffness, rtol=1e-12)
-    np.testing.assert_allclose(pq.contact_damping, env_q.contact_damping, rtol=1e-12)
+def test_contact_and_fluid_constants_match_derivation():
+    """Env literals == the oracle's independent derivations: the MuJoCo
+    solref/solimp constraint constants, the CoM offset from the geom
+    table, and the inertia-equivalent fluid box dims."""
+    np.testing.assert_allclose(tpuquad._CONTACT_K, ref.CONTACT_K, rtol=1e-12)
+    np.testing.assert_allclose(tpuquad._CONTACT_B, ref.CONTACT_B, rtol=1e-12)
+    for oracle_model, env_p in (("ground", tpuquad.Params()),
+                                ("quat", tpuquad.QuatParams())):
+        p = ref.OracleParams(oracle_model)
+        np.testing.assert_allclose(p.com[2], env_p.com_z, rtol=1e-12)
+        np.testing.assert_allclose(p.box, env_p.box_dims, rtol=1e-12)
+        assert p.contact_friction == env_p.contact_friction
+        assert p.density == env_p.density and p.viscosity == env_p.viscosity
 
 
 def _rollout_pair(env_id, oracle_step, steps, action_fn, start):
@@ -117,26 +121,26 @@ def test_quat_v0_parity():
 
 
 def test_resting_penetration_matches_static_analysis():
-    """The solref-derived stiffness predicts the resting penetration:
-    flat quad => 4 rotor discs + core point share the weight.  Verifies
-    the contact regime is as specified, not just 'doesn't fall through'."""
+    """The impedance contact law's static fixed point predicts the
+    resting penetration: at flat rest only the core-bottom point is
+    active (rotor discs sit at body z=+0.0075) and equilibrium requires
+    ``d(pen)²·K·pen = g·(1 − d(pen))`` (fn = m g with A_n = 1/m and
+    a0_n = −g).  Verifies the contact regime is the MuJoCo-mirrored one,
+    not just 'doesn't fall through'."""
     env = reinmav_tpu.make("MujocoQuadForce-v0")
     s = np.asarray(env.reset(jax.random.PRNGKey(0)), np.float64)
     for _ in range(600):
         s = np.asarray(env.step(s, np.zeros(4)).state)
-    p = tpuquad.Params()
-    # Rotor discs rest at body z=0.0075, core at -0.025: the core carries
-    # the load first.  Static equilibrium: sum fn = m g.  With the body
-    # settled (steady z, tiny velocity):
+    # Settled: steady z, tiny velocity.
     assert abs(s[9]) < 1e-3 and abs(s[7]) < 1e-4 and abs(s[8]) < 1e-4
-    weight = p.mass * 9.81
-    pen_core = -(s[2] - 0.025)  # core point height below plane
-    fn_total = 0.0
-    for (px, py, pz) in [(0.1, 0.1, 0.0075), (0.1, -0.1, 0.0075),
-                          (-0.1, -0.1, 0.0075), (-0.1, 0.1, 0.0075),
-                          (0.0, 0.0, -0.025)]:
-        pen = -(s[2] + pz)
-        if pen > 0:
-            fn_total += p.contact_stiffness * pen
-    np.testing.assert_allclose(fn_total, weight, rtol=0.05)
-    assert 0 < pen_core < 0.05  # settled within bounded penetration
+    pen_core = -(s[2] - 0.025)  # core point depth below the plane
+    # Solve the static fixed point of the law.
+    g = 9.81
+    pen = 1e-4
+    for _ in range(50):
+        d = ref.impedance(pen)
+        pen = g * (1.0 - d) / (d * d * ref.CONTACT_K)
+    np.testing.assert_allclose(pen_core, pen, rtol=1e-3)
+    # And it is MuJoCo-magnitude: sub-mm, not the centimetre scale of a
+    # naive soft spring.
+    assert 0 < pen_core < 1e-3
