@@ -1,0 +1,410 @@
+"""Pallas TPU kernel: the ENTIRE PPO rollout phase fused — policy MLP,
+Gaussian sampling, environment physics, auto-reset, reward/observation
+normalisation accounting, and per-step trajectory writes — one kernel.
+
+Replaces the ``lax.scan`` rollout of :func:`reinmav_tpu.rl.ppo.collect_rollout`
+(the workload of reference ``gym_reinmav/run.py:63-68``: vec-env rollouts
+feeding baselines ppo2) for the two flagship training envs:
+
+* ``MujocoQuadForce-v1`` (hovering — the reference's RL task,
+  ``example/mujoco/train_hovering.py``), deterministic auto-reset;
+* ``quadrotor3d-v0`` (native flagship), U(−1,1)^10 auto-reset from the
+  on-core PRNG.
+
+Design (see docs/scaling.md):
+
+* Grid ``(batch_tiles, time_chunks)`` — time chunks are sequential
+  (scratch carries env state / discounted-return / moment accumulators
+  across them); each chunk writes its trajectory block to HBM through
+  the normal pallas output pipeline, so trajectories stream out while
+  the next chunk computes.
+* Env state lives sublane-dense ``(8·D, tile)`` (full VPU density for
+  the physics); policy activations live lane-major ``(D, 8·tile)`` for
+  the MXU matmuls.  The two views are exact reshapes
+  (``(8n, t) ↔ (n, 8t)`` is comp-major flattening both ways).
+* Gaussian sampling: Box–Muller over ``pltpu.prng_random_bits``.
+  ``log_prob`` is computed from the ROUNDED realised action
+  (``action − mean``), exactly what the learner's importance ratio
+  recomputes — and what makes the σ→0 limit match the scan path
+  bitwise (the differential-test leg).
+* Normalisation semantics are ``collect_rollout``'s: raw-obs moment
+  streams, VecNormalize-style discounted-return scale for rewards,
+  clip(±10) on both.
+
+The kernel's RNG stream differs from the scan path's (jax.random vs the
+on-core PRNG): rollouts are statistically equivalent, not bitwise.  The
+differential test (tests/test_pallas_ppo_rollout.py) pins the σ→0 limit
+bitwise and the stochastic leg by moment/logp-consistency checks.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS = True
+except ImportError:  # pragma: no cover
+    _PALLAS = False
+
+from . import pallas_tpuquad as ptq
+
+
+def available() -> bool:
+    return _PALLAS
+
+
+_LOG2PI = 1.8378770664093453
+_ADIM = 4
+_NTRAJ = 24  # trajectory comps per step: obs(D) act(4) logp value reward done pad
+
+# quadrotor3d-v0 constants (envs/quadrotor3d.py Params defaults).
+_Q3_DT = 0.01
+_Q3_G = -9.8
+_Q3_POS_LIM = 3.0
+_Q3_VEL_LIM = 10.0
+
+
+def _unif01(shape):
+    """U[0,1) from the on-core PRNG (mantissa fill)."""
+    bits = pltpu.prng_random_bits(shape)
+    bits = pltpu.bitcast(bits, jnp.uint32)
+    return pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32) - 1.0
+
+
+def _normal(shape):
+    """N(0,1) via Box–Muller (cosine branch)."""
+    u = _unif01(shape)
+    v = _unif01(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(1.0 - u))  # 1-u in (0,1]
+    return r * jnp.cos((2.0 * math.pi) * v)
+
+
+def _uniform_pm1(shape):
+    return 2.0 * _unif01(shape) - 1.0
+
+
+def _mm(a, b, dims, cd):
+    if cd is not None:
+        a, b = a.astype(cd), b.astype(cd)
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+# --- env steps on (8, t) component tiles, per-lane actions ----------------
+
+
+def _hover_step_tiles(comp, act):
+    """MujocoQuadForce-v1 step (frame_skip=2) with per-lane raw actions
+    ``act`` = 4 tiles; returns (new_comp, raw_reward, done).  Mirrors
+    envs/tpuquad.py hovering_step (clip for dynamics, RAW action in the
+    reward — the reference quirk)."""
+    a0, a1, a2, a3 = act
+    c0 = jnp.clip(a0, 0.0, 1.0)
+    c1 = jnp.clip(a1, 0.0, 1.0)
+    c2 = jnp.clip(a2, 0.0, 1.0)
+    c3 = jnp.clip(a3, 0.0, 1.0)
+    total = c0 + c1 + c2 + c3
+    mx = ptq._ARM * (c0 - c1 - c2 + c3)       # motor_y = (+,-,-,+)
+    my = -ptq._ARM * (c0 + c1 - c2 - c3)      # motor_x = (+,+,-,-)
+    mz = ptq._YAW_GEAR * (-c0 + c1 - c2 + c3)  # yaw sign = (-,+,-,+)
+    comp = ptq._rigid_substep(comp, ptq._GROUND, total, mx, my, mz, None, None, False)
+    comp = ptq._rigid_substep(comp, ptq._GROUND, total, mx, my, mz, None, None, False)
+    px, py, pz = comp[0], comp[1], comp[2]
+    a_sq = a0 * a0 + a1 * a1 + a2 * a2 + a3 * a3
+    a_sum = a0 + a1 + a2 + a3
+    vel_sq = sum(c * c for c in comp[7:13])
+    reward = (
+        -10.0 * (px * px + py * py + (pz - 1.0) ** 2)
+        - 0.1 * vel_sq
+        - a_sq
+        + 0.1 * a_sum
+        + 100.0
+    )
+    finite = jnp.isfinite(sum(comp))
+    done = ~finite | (pz <= 0.3) | (jnp.abs(px) >= 2.0) | (jnp.abs(py) >= 2.0)
+    return comp, reward, done
+
+
+def _hover_reset_rows(shape, dtype):
+    return jnp.concatenate(
+        [jnp.full((8,) + shape[1:], v, dtype) for v in ptq._INIT], axis=0
+    )
+
+
+def _quad3d_step_tiles(comp, act):
+    """quadrotor3d-v0 step with per-lane actions [thrust, wx, wy, wz]
+    (envs/quadrotor3d.py:step — Q3/Q4 semantics: pos-first Euler with the
+    old velocity, quat derivative of the normalised quat added to the
+    raw stored quat)."""
+    px, py, pz, qw, qx, qy, qz, vx, vy, vz = comp
+    thrust, wx, wy, wz = act
+
+    qn2 = qw * qw + qx * qx + qy * qy + qz * qz
+    inv_qn = jax.lax.rsqrt(qn2)
+    inv = inv_qn * inv_qn
+    bzx = 2.0 * (qx * qz + qw * qy) * inv
+    bzy = 2.0 * (qy * qz - qw * qx) * inv
+    bzz = 1.0 - 2.0 * (qx * qx + qy * qy) * inv
+
+    accx = thrust * bzx
+    accy = thrust * bzy
+    accz = thrust * bzz + _Q3_G
+
+    npx = px + vx * _Q3_DT + 0.5 * accx * _Q3_DT * _Q3_DT
+    npy = py + vy * _Q3_DT + 0.5 * accy * _Q3_DT * _Q3_DT
+    npz = pz + vz * _Q3_DT + 0.5 * accz * _Q3_DT * _Q3_DT
+    nvx, nvy, nvz = vx + accx * _Q3_DT, vy + accy * _Q3_DT, vz + accz * _Q3_DT
+
+    hw, hx, hy, hz = qw * inv_qn, qx * inv_qn, qy * inv_qn, qz * inv_qn
+    half_dt = 0.5 * _Q3_DT
+    nqw = qw + half_dt * (-hx * wx - hy * wy - hz * wz)
+    nqx = qx + half_dt * (hw * wx + hy * wz - hz * wy)
+    nqy = qy + half_dt * (hw * wy - hx * wz + hz * wx)
+    nqz = qz + half_dt * (hw * wz + hx * wy - hy * wx)
+
+    pn2 = npx * npx + npy * npy + npz * npz
+    vn2 = nvx * nvx + nvy * nvy + nvz * nvz
+    done = (pn2 > _Q3_POS_LIM**2) | (vn2 > _Q3_VEL_LIM**2)
+    reward = jnp.where(done, 1.0, -jnp.sqrt(pn2))
+    new = [npx, npy, npz, nqw, nqx, nqy, nqz, nvx, nvy, nvz]
+    return new, reward, done
+
+
+def _quad3d_reset_rows(shape, dtype):
+    return _uniform_pm1((80,) + shape[1:]).astype(dtype)
+
+
+_ENVS = {
+    "MujocoQuadForce-v1": (13, _hover_step_tiles, _hover_reset_rows),
+    "quadrotor3d-v0": (10, _quad3d_step_tiles, _quad3d_reset_rows),
+}
+
+
+def _kernel(env_kind, t_chunk, cd, normalize_obs, normalize_rewards,
+            seed_ref, consts_ref,
+            s_in_ref, ret_in_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+            wo_ref, bo_ref,
+            traj_ref, fin_ref, rets_ref, stats_ref,
+            s_scr, ret_scr, stats_scr):
+    """One (batch-tile, time-chunk) grid step: ``t_chunk`` fused
+    policy+env steps.
+
+    consts layout (f32): [obs_mean(D), obs_invstd(D), exp_log_std(4),
+    log_std_sum, inv_ret_std, gamma].
+    """
+    d, step_tiles, reset_rows = _ENVS[env_kind]
+    b = pl.program_id(0)
+    tc = pl.program_id(1)
+    n_tc = pl.num_programs(1)
+    # Decorrelated stream per grid step (int32 wraparound is fine).
+    pltpu.prng_seed(seed_ref[0] + b * jnp.int32(131071) + tc)
+
+    @pl.when(tc == 0)
+    def _init():
+        s_scr[:, :] = s_in_ref[:, :]
+        ret_scr[:, :] = ret_in_ref[:, :]
+        stats_scr[:, :] = jnp.zeros_like(stats_scr)
+
+    mean_off, invstd_off = 0, d
+    els_off = 2 * d
+    ls_sum = consts_ref[2 * d + 4]
+    inv_ret_std = consts_ref[2 * d + 5]
+    gamma = consts_ref[2 * d + 6]
+
+    def rows(s, i):
+        return s[8 * i : 8 * (i + 1)]
+
+    state = s_scr[:, :]
+    ret = ret_scr[:, :]
+    stats = stats_scr[:, :]
+    tile = state.shape[1]
+    w1, b1 = w1_ref[:, :], b1_ref[:, :]
+    w2, b2 = w2_ref[:, :], b2_ref[:, :]
+    wo, bo = wo_ref[:, :], bo_ref[:, :]
+
+    for k in range(t_chunk):
+        comp = [rows(state, i) for i in range(d)]
+
+        # Raw-obs moment streams + normalisation (collect_rollout:203-213).
+        norm_obs = []
+        new_stats = []
+        for i in range(d):
+            if normalize_obs:
+                new_stats.append(rows(stats, i) + comp[i])
+                new_stats.append(rows(stats, d + i) + comp[i] * comp[i])
+                no = (comp[i] - consts_ref[mean_off + i]) * consts_ref[invstd_off + i]
+                norm_obs.append(jnp.clip(no, -10.0, 10.0))
+            else:
+                new_stats.append(rows(stats, i))
+                new_stats.append(rows(stats, d + i))
+                norm_obs.append(comp[i])
+        # (8d, t) -> (d, 8t): comp-major flatten (exact reshape).
+        x = jnp.concatenate(norm_obs, axis=0).reshape(d, 8 * tile)
+
+        # Fused actor-critic MLP (networks.apply_t semantics).
+        h1 = jnp.tanh(_mm(w1, x, ((0,), (0,)), cd) + b1.T)
+        h2 = jnp.tanh(_mm(w2, h1, ((0,), (0,)), cd) + b2.T)
+        out = _mm(wo, h2, ((0,), (0,)), cd) + bo.T          # (A+1, 8t)
+        mean = out[:_ADIM]
+        value_flat = out[_ADIM:_ADIM + 1]
+
+        # Sample; log-prob from the ROUNDED action (see module docs).
+        noise = _normal((_ADIM, 8 * tile))
+        act_list = []
+        z2_sum = jnp.zeros((1, 8 * tile), jnp.float32)
+        for i in range(_ADIM):
+            std_i = consts_ref[els_off + i]
+            a_i = mean[i : i + 1] + std_i * noise[i : i + 1]
+            zi = (a_i - mean[i : i + 1]) * (1.0 / std_i)
+            z2_sum = z2_sum + zi * zi
+            act_list.append(a_i)
+        logp_flat = -0.5 * z2_sum - ls_sum - 0.5 * _ADIM * _LOG2PI
+
+        # Back to sublane-dense for the physics / trajectory store.
+        act8 = jnp.concatenate(act_list, axis=0).reshape(8 * _ADIM, tile)
+        act_comps = [rows(act8, i) for i in range(_ADIM)]
+        logp8 = logp_flat.reshape(8, tile)
+        value8 = value_flat.reshape(8, tile)
+
+        comp, raw_reward, done = step_tiles(comp, act_comps)
+        done_f = done.astype(jnp.float32)
+
+        # VecNormalize-style reward scale (collect_rollout:225-234).
+        if normalize_rewards:
+            ret = ret * gamma + raw_reward
+            ret_sum = rows(stats, 2 * d) + ret
+            ret_sq = rows(stats, 2 * d + 1) + ret * ret
+            reward = jnp.clip(raw_reward * inv_ret_std, -10.0, 10.0)
+            ret = ret * (1.0 - done_f)
+        else:
+            ret_sum = rows(stats, 2 * d)
+            ret_sq = rows(stats, 2 * d + 1)
+            reward = raw_reward
+        raw_sum = rows(stats, 2 * d + 2) + raw_reward
+        new_stats.extend([ret_sum, ret_sq, raw_sum])
+
+        # Auto-reset done lanes.
+        stacked = jnp.concatenate(comp, axis=0)
+        draw = reset_rows(stacked.shape, stacked.dtype)
+        stacked = jnp.where(jnp.tile(done, (d, 1)), draw, stacked)
+
+        # Trajectory block rows for this step: obs(D) act(4) logp value
+        # reward done pad -> _NTRAJ comps x 8 rows.
+        pad = jnp.zeros((8 * (_NTRAJ - d - _ADIM - 4), tile), jnp.float32)
+        step_rows = jnp.concatenate(
+            norm_obs + [act8, logp8, value8, reward, done_f, pad], axis=0
+        )
+        traj_ref[k * 8 * _NTRAJ : (k + 1) * 8 * _NTRAJ, :] = step_rows
+
+        state = stacked
+        # Stats layout: obs_sum/obs_sq interleaved per comp then ret rows.
+        stats = jnp.concatenate(
+            [new_stats[2 * i] for i in range(d)]
+            + [new_stats[2 * i + 1] for i in range(d)]
+            + new_stats[2 * d :],
+            axis=0,
+        )
+
+    s_scr[:, :] = state
+    ret_scr[:, :] = ret
+    stats_scr[:, :] = stats
+
+    @pl.when(tc == n_tc - 1)
+    def _finish():
+        fin_ref[:, :] = state
+        rets_ref[:, :] = ret
+        stats_ref[:, :] = stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("env_kind", "horizon", "tile", "t_chunk",
+                     "compute_dtype", "normalize_obs", "normalize_rewards"),
+)
+def ppo_rollout_pallas(env_kind: str, states_t, env_returns, seed,
+                       w1, b1, w2, b2, wo, bo, consts,
+                       horizon: int, tile: int = 128, t_chunk: int = 8,
+                       compute_dtype: str = "float32",
+                       normalize_obs: bool = True,
+                       normalize_rewards: bool = True):
+    """Fused PPO rollout.
+
+    Args:
+      states_t: (D, B) f32 env states (B % (8·tile) == 0).
+      env_returns: (B,) running discounted returns.
+      seed: int32 array (1,).
+      w1..bo: fused MLP stacks (networks.fused_weights), 2H == 128.
+      consts: f32 vector [obs_mean(D), obs_invstd(D), exp(log_std)(4),
+        Σlog_std, 1/sqrt(ret_var+eps), gamma].
+      horizon: T (divisible by t_chunk).
+
+    Returns (traj_rows, final_rows, env_returns, stats):
+      traj_rows: (T·8·24, B/8) — reshape to (T, 24, 8, B/8); comp c rows:
+        0:D norm obs, D:D+4 action, then logp, value, reward, done.
+      final_rows: (8·D, B/8); env_returns: (8, B/8);
+      stats: ((2D+3)·8, B/8) — per-comp partial sums (reduce over
+        sublanes+lanes on the host): obs_sum(D), obs_sq(D), ret_sum,
+        ret_sq, raw_reward_sum.
+    """
+    d, _, _ = _ENVS[env_kind]
+    dd, batch = states_t.shape
+    assert dd == d and batch % (8 * tile) == 0, (dd, d, batch, tile)
+    assert horizon % t_chunk == 0, (horizon, t_chunk)
+    assert w2.shape == (128, 128), w2.shape
+    b8 = batch // 8
+    n_tc = horizon // t_chunk
+    grid = (b8 // tile, n_tc)
+    cd = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+    s_rows = states_t.reshape(8 * d, b8)
+    ret_rows = env_returns.reshape(8, b8)
+    stats_rows = (2 * d + 3) * 8
+
+    kernel = functools.partial(
+        _kernel, env_kind, t_chunk, cd, normalize_obs, normalize_rewards
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8 * d, tile), lambda b, tc, *_: (0, b)),
+            pl.BlockSpec((8, tile), lambda b, tc, *_: (0, b)),
+            pl.BlockSpec(w1.shape, lambda b, tc, *_: (0, 0)),
+            pl.BlockSpec(b1.shape, lambda b, tc, *_: (0, 0)),
+            pl.BlockSpec(w2.shape, lambda b, tc, *_: (0, 0)),
+            pl.BlockSpec(b2.shape, lambda b, tc, *_: (0, 0)),
+            pl.BlockSpec(wo.shape, lambda b, tc, *_: (0, 0)),
+            pl.BlockSpec(bo.shape, lambda b, tc, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((t_chunk * 8 * _NTRAJ, tile), lambda b, tc, *_: (tc, b)),
+            pl.BlockSpec((8 * d, tile), lambda b, tc, *_: (0, b)),
+            pl.BlockSpec((8, tile), lambda b, tc, *_: (0, b)),
+            pl.BlockSpec((stats_rows, tile), lambda b, tc, *_: (0, b)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8 * d, tile), jnp.float32),
+            pltpu.VMEM((8, tile), jnp.float32),
+            pltpu.VMEM((stats_rows, tile), jnp.float32),
+        ],
+    )
+    traj, fin, rets, stats = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((horizon * 8 * _NTRAJ, b8), jnp.float32),
+            jax.ShapeDtypeStruct((8 * d, b8), jnp.float32),
+            jax.ShapeDtypeStruct((8, b8), jnp.float32),
+            jax.ShapeDtypeStruct((stats_rows, b8), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(seed, consts, s_rows, ret_rows, w1, b1, w2, b2, wo, bo)
+    return traj, fin, rets, stats

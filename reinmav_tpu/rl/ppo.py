@@ -81,6 +81,16 @@ class PpoConfig(NamedTuple):
     # bf16 mode shifts gradients at bf16 rounding magnitude (pinned by
     # tests/test_pallas_ppo.py::test_fused_loss_grads_bf16_mode).
     fused_loss: str = "auto"
+    # Fused Pallas policy+env ROLLOUT kernel (ops/pallas_ppo_rollout):
+    # the entire rollout phase — MLP, Gaussian sampling, env physics,
+    # auto-reset, normalisation accounting, trajectory writes — as one
+    # kernel.  "auto" uses it on TPU for the supported envs
+    # (MujocoQuadForce-v1, quadrotor3d-v0) with 2x64 hidden and batch
+    # divisible by 8·128; "on" forces (tests/interpret), "off" keeps the
+    # lax.scan rollout.  RNG caveat: the kernel draws from the on-core
+    # PRNG, so rollouts are statistically equivalent to the scan path,
+    # not bitwise (the σ→0 limit IS bitwise; see the differential test).
+    fused_rollout: str = "auto"
 
 
 class ObsNorm(NamedTuple):
@@ -370,6 +380,101 @@ def _shuffle_indices(k_perm, n: int):
     return jax.random.permutation(k_perm, n)
 
 
+def _fused_rollout_enabled(cfg: PpoConfig, env: EnvDef, batch: int) -> bool:
+    """Static dispatch for the fused policy+env rollout kernel.  Strict
+    like the throughput_rollout dispatch (envs/core.py): the kernel bakes
+    in default physics, so wrapped/re-parameterised envs are refused."""
+    if cfg.fused_rollout == "off":
+        return False
+    if tuple(cfg.hidden) != (64, 64) or env.action_dim != 4:
+        return False
+    from ..ops import pallas_ppo_rollout
+
+    if not pallas_ppo_rollout.available():
+        return False
+    if env.name == "MujocoQuadForce-v1":
+        from ..envs import tpuquad as mod
+
+        ok = (env.step_fn is mod.hovering_step
+              and env.reset_fn is mod.hovering_reset
+              and env.params == mod.Params(init_z=1.0))
+    elif env.name == "quadrotor3d-v0":
+        from ..envs import quadrotor3d as mod
+
+        ok = (env.step_fn is mod.step and env.reset_fn is mod.reset
+              and env.params == mod.Params())
+    else:
+        ok = False
+    if not ok:
+        return False
+    if batch % 8 != 0 or cfg.rollout_len % 2 != 0:
+        return False
+    b8 = batch // 8
+    if cfg.fused_rollout == "on":
+        return True  # tests pick their own tile via _rollout_tile
+    return jax.devices()[0].platform == "tpu" and b8 % 128 == 0
+
+
+def _rollout_tile(batch: int) -> int:
+    tile = min(128, batch // 8)
+    while (batch // 8) % tile:
+        tile //= 2
+    return tile
+
+
+def _collect_rollout_pallas(env: EnvDef, cfg: PpoConfig, params, obs_norm,
+                            ret_norm, env_states, env_returns, key):
+    """Drop-in replacement for :func:`collect_rollout` (dense8 layout)
+    backed by the fused Pallas rollout kernel.  Same return contract;
+    the RNG stream is the on-core PRNG seeded from ``key`` (statistically
+    equivalent sampling, not bitwise — see ops/pallas_ppo_rollout)."""
+    from ..ops import pallas_ppo_rollout as pr
+
+    batch = env_states.shape[0]
+    d = env.state_dim
+    dtype = jnp.float32
+    layers, wo, bo = networks.fused_weights(params)
+    (w1, b1), (w2, b2) = layers
+    ls = params["log_std"].astype(dtype)
+    invstd = 1.0 / jnp.sqrt(obs_norm.var.astype(dtype) + 1e-8)
+    inv_ret_std = 1.0 / jnp.sqrt(ret_norm.var.astype(dtype) + 1e-8)
+    consts = jnp.concatenate([
+        obs_norm.mean.astype(dtype), invstd, jnp.exp(ls), jnp.sum(ls)[None],
+        inv_ret_std[None], jnp.asarray([cfg.gamma], dtype),
+    ])
+    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, jnp.int32)
+    t_chunk = 8
+    while cfg.rollout_len % t_chunk:
+        t_chunk //= 2
+    traj_rows, fin, rets8, stats = pr.ppo_rollout_pallas(
+        env.name, env_states.T.astype(dtype), env_returns.astype(dtype),
+        seed,
+        w1.astype(dtype), b1.reshape(1, -1).astype(dtype),
+        w2.astype(dtype), b2.reshape(1, -1).astype(dtype),
+        wo.astype(dtype), bo.reshape(1, -1).astype(dtype),
+        consts, cfg.rollout_len, tile=_rollout_tile(batch), t_chunk=t_chunk,
+        compute_dtype=cfg.compute_dtype,
+        normalize_obs=cfg.normalize_obs,
+        normalize_rewards=cfg.normalize_rewards,
+    )
+    T = cfg.rollout_len
+    b8 = batch // 8
+    tr = traj_rows.reshape(T, pr._NTRAJ, 8, b8)
+    traj = Transition(
+        obs=tr[:, :d], action=tr[:, d:d + 4], log_prob=tr[:, d + 4],
+        value=tr[:, d + 5], reward=tr[:, d + 6], done=tr[:, d + 7] > 0.5,
+    )
+    final_states = fin.reshape(d, batch).T
+    env_returns = rets8.reshape(batch)
+    s = stats.reshape(2 * d + 3, 8, b8).sum(axis=(1, 2))
+    n = jnp.asarray(T * batch, dtype)
+    obs_moments = RawObsMoments(s[:d], s[d:2 * d], n)
+    ret_moments = RawObsMoments(s[2 * d], s[2 * d + 1], n)
+    raw_reward_mean = s[2 * d + 2] / n
+    return (final_states, env_returns, jax.random.fold_in(key, T), traj,
+            obs_moments, ret_moments, raw_reward_mean)
+
+
 def _fused_loss_enabled(cfg: PpoConfig) -> bool:
     """Static dispatch for the Pallas fused loss kernel (never inside
     jit: checks platform + config shape support)."""
@@ -407,7 +512,8 @@ def _unfuse_grads(g, hidden: int, adim: int):
 
 def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
                dense8: bool | None = None, fused_loss: bool | None = None,
-               axis_name: str | None = None):
+               axis_name: str | None = None,
+               fused_rollout: bool | None = None):
     """One PPO update: rollout → GAE → epochs × minibatches of SGD.
     Pure function of TrainState; jit (optionally with the env-state batch
     sharded over a mesh) at the call site or via :func:`make_train_step`.
@@ -435,10 +541,21 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
             state.key, jax.lax.axis_index(axis_name)
         )
 
-    env_states, env_returns, key, traj, obs_moments, ret_moments, raw_reward_mean = collect_rollout(
-        env, cfg, state.params, state.obs_norm, state.ret_norm,
-        state.env_states, state.env_returns, rollout_key, dense8=dense8,
-    )
+    if fused_rollout is None:
+        fused_rollout = _fused_rollout_enabled(
+            cfg, env, state.env_states.shape[0]
+        )
+    if fused_rollout:
+        (env_states, env_returns, key, traj, obs_moments, ret_moments,
+         raw_reward_mean) = _collect_rollout_pallas(
+            env, cfg, state.params, state.obs_norm, state.ret_norm,
+            state.env_states, state.env_returns, rollout_key,
+        )
+    else:
+        env_states, env_returns, key, traj, obs_moments, ret_moments, raw_reward_mean = collect_rollout(
+            env, cfg, state.params, state.obs_norm, state.ret_norm,
+            state.env_states, state.env_returns, rollout_key, dense8=dense8,
+        )
     if axis_name is not None:
         # The rollout-advanced key is device-local; keep the carried key
         # replicated by advancing the master key instead, and make the
@@ -585,7 +702,8 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
 
 
 def train_many(env: EnvDef, cfg: PpoConfig, state: TrainState, num_updates: int,
-               dense8: bool | None = None, fused_loss: bool | None = None):
+               dense8: bool | None = None, fused_loss: bool | None = None,
+               fused_rollout: bool | None = None):
     """Run ``num_updates`` PPO updates inside one compiled program
     (``lax.scan`` over :func:`train_step`).
 
@@ -595,7 +713,9 @@ def train_many(env: EnvDef, cfg: PpoConfig, state: TrainState, num_updates: int,
     """
 
     def body(s, _):
-        s, metrics = train_step(env, cfg, s, dense8=dense8, fused_loss=fused_loss)
+        s, metrics = train_step(env, cfg, s, dense8=dense8,
+                                fused_loss=fused_loss,
+                                fused_rollout=fused_rollout)
         return s, metrics
 
     state, stacked = jax.lax.scan(body, state, None, length=num_updates)
@@ -630,7 +750,8 @@ def make_train_many(env: EnvDef, cfg: PpoConfig, num_updates: int, mesh=None):
     the sharding contract)."""
     fn = partial(train_many, env, cfg, num_updates=num_updates,
                  dense8=(None if mesh is None else False),
-                 fused_loss=(None if mesh is None else False))
+                 fused_loss=(None if mesh is None else False),
+                 fused_rollout=(None if mesh is None else False))
     if mesh is None:
         return jax.jit(fn)
 
@@ -734,11 +855,13 @@ def make_train_step(env: EnvDef, cfg: PpoConfig, mesh=None):
     the gradient all-reduce over ICI (the MPI-allreduce replacement).
     The sublane-dense rollout view is disabled on a mesh (its (8, B/8)
     reshape crosses shard boundaries)."""
-    # On a mesh both the dense8 view and the fused Pallas loss are
-    # disabled: the (8, B/8) reshape and the pallas_call would cross
-    # shard boundaries (multi-chip keeps the XLA autodiff path).
+    # On a mesh the dense8 view, the fused Pallas loss, and the fused
+    # rollout kernel are disabled: the (8, B/8) reshape and the
+    # pallas_calls would cross shard boundaries (multi-chip jit-sharding
+    # keeps the XLA paths; shard_map keeps the fast ones per device).
     step = partial(train_step, env, cfg, dense8=(None if mesh is None else False),
-                   fused_loss=(None if mesh is None else False))
+                   fused_loss=(None if mesh is None else False),
+                   fused_rollout=(None if mesh is None else False))
     if mesh is None:
         return jax.jit(step)
 
