@@ -1,3 +1,3 @@
-from . import gym_env
+from . import gym_env, vector_env
 
-__all__ = ["gym_env"]
+__all__ = ["gym_env", "vector_env"]

@@ -119,6 +119,14 @@ class GymAdapter(gymnasium.Env if gymnasium else object):
 
         return plot_trajectory(self.env.name, np.stack(self._history), path_prefix)
 
+    def render_html(self, path: str = "trajectory.html", **kwargs) -> str:
+        """Interactive browser animation of the episode so far (the
+        vpython-live-canvas role, ``quadrotor3d.py:187-307`` — recorded
+        rather than live; self-contained HTML, no server)."""
+        from ..render.html_view import save_html
+
+        return save_html(self.env.name, np.stack(self._history), path, **kwargs)
+
 
 def register_all() -> None:
     """Register every env id with gymnasium under ``reinmav_tpu/``

@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--play", action="store_true")
     p.add_argument("--play_steps", type=int, default=1000)
     p.add_argument("--gif", default=None, help="write the play rollout as a GIF")
+    p.add_argument("--html", default=None,
+                   help="write the play rollout as an interactive HTML "
+                        "animation (self-contained, open in any browser)")
     p.add_argument("--no_mesh", action="store_true", help="disable mesh sharding")
     p.add_argument("--shard_map", action="store_true",
                    help="multi-chip FAST path: shard_map train step with "
@@ -216,9 +219,14 @@ def play(args, state: ppo.TrainState | None = None):
         from ..render import save_gif
 
         save_gif(env.name, states, args.gif)
+    if args.html:
+        from ..render import save_html
+
+        save_html(env.name, states, args.html)
     print(json.dumps({"play_steps": args.play_steps, "episodes": episodes,
                       "total_reward": round(total_reward, 3),
-                      **({"gif": args.gif} if args.gif else {})}))
+                      **({"gif": args.gif} if args.gif else {}),
+                      **({"html": args.html} if args.html else {})}))
     return states
 
 

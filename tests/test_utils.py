@@ -107,3 +107,39 @@ def test_tpuquad_init_z_override():
     env = reinmav_tpu.make("MujocoQuadForce-v1", params=tpuquad.Params(init_z=0.5))
     s = env.reset(jax.random.PRNGKey(0))
     assert float(s[2]) == 0.5
+
+
+def test_save_html_animation(tmp_path):
+    """Interactive HTML viewer (the vpython-live-canvas replacement):
+    self-contained document, valid frame JSON, all controls present."""
+    import json
+    import re
+
+    import jax
+
+    import reinmav_tpu
+    from reinmav_tpu.render import save_html
+
+    for eid in ("quadrotor3d-v0", "quadrotor2d-slungload-v0",
+                "MujocoQuadForce-v1"):
+        env = reinmav_tpu.make(eid)
+        s = env.reset(jax.random.PRNGKey(0))
+        traj = [np.asarray(s)]
+        for _ in range(20):
+            a = (env.control(s) if env.control_fn
+                 else np.full(env.action_dim, 0.5, np.float32))
+            s = env.step(s, a).state
+            traj.append(np.asarray(s))
+        path = save_html(eid, np.stack(traj), str(tmp_path / eid))
+        html = open(path).read()
+        assert html.startswith("<!DOCTYPE html>") and "</html>" in html
+        script = html.split("<script>")[1].split("</script>")[0]
+        for a_, b_ in (("{", "}"), ("(", ")"), ("[", "]")):
+            assert script.count(a_) == script.count(b_)
+        frames = json.loads(
+            re.search(r"const FRAMES = (\[.*?\]);", script).group(1))
+        assert len(frames) == 21
+        for el in ("c", "play", "scrub", "t", "speed"):
+            assert f'id="{el}"' in html, el
+        # Self-contained: no external references after the title.
+        assert "http" not in html.split("</title>")[1]
