@@ -38,6 +38,12 @@ class PpoConfig(NamedTuple):
     gae_lambda: float = 0.95
     clip_eps: float = 0.2
     value_clip_eps: float = 0.2
+    # Adaptive-KL penalty mode (the other PPO variant from the paper,
+    # baselines ppo1 / TRPO-flavoured): when set, the policy loss is
+    # -E[ratio*adv] + beta*KL(old||new) with NO ratio clipping, and beta
+    # adapts between updates (x2 when the measured KL exceeds
+    # 1.5*kl_target, /2 when below target/1.5).  None = clipped PPO.
+    kl_target: float | None = None
     entropy_coef: float = 0.0
     # Optional lower clamp on the policy log-std, applied after every
     # optimiser step.  With entropy_coef=0 (the reference recipe) long
@@ -120,6 +126,13 @@ class TrainState(NamedTuple):
     env_returns: jnp.ndarray  # (B,) running discounted returns
     key: jax.Array
     update_step: jnp.ndarray
+    # Adaptive-KL penalty coefficient (used only when cfg.kl_target is
+    # set; carried so the adaptation persists across checkpoints).  The
+    # default is a plain float, NOT jnp.asarray: a jnp default would run
+    # at import time and initialise the XLA backend, which breaks
+    # multi-process workers that must call jax.distributed.initialize
+    # before any backend-touching call (tests/_mp_worker.py).
+    kl_beta: jnp.ndarray | float = 1.0
 
 
 class Transition(NamedTuple):
@@ -187,7 +200,7 @@ def init_train_state(env: EnvDef, cfg: PpoConfig, key: jax.Array) -> TrainState:
     env_returns = jnp.zeros(cfg.num_envs)
     return TrainState(
         params, opt_state, env_states, obs_norm, ret_norm, env_returns,
-        k_loop, jnp.asarray(0),
+        k_loop, jnp.asarray(0), jnp.asarray(1.0),
     )
 
 
@@ -328,16 +341,22 @@ def compute_gae(cfg: PpoConfig, traj: Transition, last_value):
 
 
 def ppo_loss(params, cfg: PpoConfig, batch, advantages, returns,
-             compute_dtype=None):
-    """Clipped-surrogate PPO loss on a TRANSPOSED minibatch:
-    ``batch.obs``/``batch.action`` are (D|A, n); scalars are (n,)."""
+             compute_dtype=None, kl_beta=None):
+    """PPO loss on a TRANSPOSED minibatch: ``batch.obs``/``batch.action``
+    are (D|A, n); scalars are (n,).  Clipped surrogate by default;
+    adaptive-KL penalty when ``cfg.kl_target`` is set (``kl_beta`` is the
+    carried coefficient)."""
     mean, log_std, value = networks.apply_t(params, batch.obs, compute_dtype)
     log_prob = networks.gaussian_log_prob_t(mean, log_std, batch.action)
     ratio = jnp.exp(log_prob - batch.log_prob)
 
-    pg1 = ratio * advantages
-    pg2 = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps) * advantages
-    pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
+    if cfg.kl_target is not None:  # static at trace time
+        kl = jnp.mean(batch.log_prob - log_prob)
+        pg_loss = -jnp.mean(ratio * advantages) + kl_beta * kl
+    else:
+        pg1 = ratio * advantages
+        pg2 = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps) * advantages
+        pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
 
     v_clipped = batch.value + jnp.clip(
         value - batch.value, -cfg.value_clip_eps, cfg.value_clip_eps
@@ -479,6 +498,8 @@ def _fused_loss_enabled(cfg: PpoConfig) -> bool:
     """Static dispatch for the Pallas fused loss kernel (never inside
     jit: checks platform + config shape support)."""
     if cfg.fused_loss == "off":
+        return False
+    if cfg.kl_target is not None:  # penalty loss lives on the XLA path
         return False
     if len(cfg.hidden) != 2 or cfg.hidden[0] != cfg.hidden[1]:
         return False
@@ -653,7 +674,7 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
                 metrics = {**pmet, "entropy": networks.entropy(params_["log_std"])}
             else:
                 (_, metrics), grads = jax.value_and_grad(ppo_loss, has_aux=True)(
-                    params_, cfg, mb, adv, ret, cd
+                    params_, cfg, mb, adv, ret, cd, state.kl_beta
                 )
             if axis_name is not None:
                 # Cross-device gradient average (the MPI allreduce role);
@@ -686,9 +707,17 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
         if cfg.normalize_rewards
         else state.ret_norm
     )
+    kl_beta = state.kl_beta
+    if cfg.kl_target is not None:
+        # Adapt on the LAST epoch's measured KL (baselines ppo1 recipe).
+        measured = jnp.mean(metrics["approx_kl"][-1])
+        kl_beta = jnp.where(measured > 1.5 * cfg.kl_target, kl_beta * 2.0,
+                            jnp.where(measured < cfg.kl_target / 1.5,
+                                      kl_beta * 0.5, kl_beta))
+        kl_beta = jnp.clip(kl_beta, 1e-4, 64.0)
     new_state = TrainState(
         params, opt_state, env_states, obs_norm, ret_norm, env_returns,
-        key, state.update_step + 1,
+        key, state.update_step + 1, kl_beta,
     )
     done_frac = jnp.mean(traj.done.astype(jnp.float32))
     if axis_name is not None:
@@ -741,7 +770,7 @@ def state_shardings(mesh) -> TrainState:
     return TrainState(
         params=rep, opt_state=rep, env_states=bs,
         obs_norm=ObsNorm(rep, rep, rep), ret_norm=RetNorm(rep, rep),
-        env_returns=bs, key=rep, update_step=rep,
+        env_returns=bs, key=rep, update_step=rep, kl_beta=rep,
     )
 
 
@@ -798,7 +827,7 @@ def _make_shardmap(env: EnvDef, cfg: PpoConfig, mesh, num_updates: int | None):
     state_specs = TrainState(
         params=rep, opt_state=rep, env_states=bs,
         obs_norm=ObsNorm(rep, rep, rep), ret_norm=RetNorm(rep, rep),
-        env_returns=bs, key=rep, update_step=rep,
+        env_returns=bs, key=rep, update_step=rep, kl_beta=rep,
     )
     step = partial(train_step, env, cfg, axis_name=BATCH_AXIS)
     if num_updates is None:

@@ -35,11 +35,15 @@ def build_parser() -> argparse.ArgumentParser:
     # train_hovering.py:34-54).
     p = argparse.ArgumentParser(description="TPU-native PPO training for reinmav envs")
     p.add_argument("--env", default="quadrotor3d-v0")
-    p.add_argument("--alg", default="ppo", choices=["ppo", "a2c"],
+    p.add_argument("--alg", default="ppo", choices=["ppo", "a2c", "ppo_kl"],
                    help="a2c = single-pass advantage actor-critic: the PPO "
                         "machinery with one epoch, one batch and no ratio "
                         "clipping (the surrogate reduces to the vanilla PG "
-                        "loss at ratio=1)")
+                        "loss at ratio=1).  ppo_kl = adaptive-KL-penalty "
+                        "PPO (baselines ppo1 / TRPO-flavoured: beta*KL "
+                        "instead of clipping, beta adapted to --kl_target)")
+    p.add_argument("--kl_target", type=float, default=0.01,
+                   help="per-update KL target for --alg=ppo_kl")
     p.add_argument("--num_timesteps", type=float, default=1e6)
     p.add_argument("--num_env", type=int, default=1024)
     p.add_argument("--rollout_len", type=int, default=128)
@@ -102,6 +106,8 @@ def train(args) -> ppo.TrainState:
         # IS the A2C objective (reference: baselines a2c via run.py --alg).
         cfg = cfg._replace(num_epochs=1, num_minibatches=1, clip_eps=1e9,
                            value_clip_eps=1e9)
+    elif args.alg == "ppo_kl":
+        cfg = cfg._replace(kl_target=args.kl_target)
     mesh = None if args.no_mesh else make_mesh()
     k = max(1, args.updates_per_jit)
     if args.shard_map and mesh is None:
