@@ -19,6 +19,22 @@ Tie conventions match JAX: ``jnp.minimum(a, b)`` routes the cotangent to
 ``a`` where ``a < b``, to ``b`` where ``b < a``, and half-half on exact
 ties; the clipped-ratio branch uses the same selector as the XLA loss so
 gradients agree everywhere except measure-zero boundaries.
+
+The minibatch GATHER is fused into the kernel (round 3): the caller
+stacks the FULL flattened batch into one row-padded (R8, n) array
+(rows: obs, action, old_logp, old_value, raw advantage, return — R8
+rounded up to a multiple of 8, Mosaic's HBM sublane-slice granule) and
+passes a per-minibatch list of shuffle-tile indices (``perm``,
+scalar-prefetched).  Each grid step assembles a group of tiles into VMEM
+scratch with one async copy per tile, straight from the permuted
+positions.  The XLA path previously materialised every minibatch with
+``take``-style gathers — profiled at ~5.5 ms/update of pure data
+formatting (vs 7.6 ms of actual loss-grad compute) because the
+128-lane×1-sublane gather granule defeats the copy pipeline.  In-kernel
+DMA makes the gather part of the compute pipeline: the minibatch is
+never materialised in HBM at all.  Advantage normalisation moves
+in-kernel too (``adv_stats`` = per-minibatch shift/inv-scale computed by
+the caller from the one cheap (n,) row).
 """
 
 from __future__ import annotations
@@ -52,29 +68,58 @@ def _mm(a, b, dims, cd):
                                preferred_element_type=jnp.float32)
 
 
-def _kernel(cfg, adim, nt, cd,
-            obs_ref, act_ref, aux_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+def _kernel(cfg, d, adim, tile, group, cd,
+            perm_ref, data_hbm, stats_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref,
             wo_ref, bo_ref, ls_ref,
             dw1_ref, db1_ref, dw2_ref, db2_ref, dwo_ref, dbo_ref,
-            dls_ref, met_ref):
-    """One batch tile: forward, per-sample loss grads, backward, and
-    accumulation into the parameter-grad outputs.
+            dls_ref, met_ref,
+            data_s, sem):
+    """One batch group: gather ``group`` shuffle-tiles by DMA, forward,
+    per-sample loss grads, backward, and accumulation into the
+    parameter-grad outputs.
 
-    aux rows: 0 old_logp, 1 old_value, 2 advantage (pre-normalised),
-    3 return.  Metric row: [pg_sum, v_sum, kl_sum, clipfrac_sum].
+    ``perm_ref`` (scalar prefetch, SMEM) holds the shuffle-tile index of
+    every tile in minibatch order; grid step ``i`` assembles tiles
+    ``perm[i*group : (i+1)*group]`` into the (R8, group·tile) VMEM
+    scratch with one async copy per tile straight out of the full
+    stacked batch (``data_hbm``, HBM-resident; see module docstring for
+    the row layout).  Grouping keeps the matmuls ~1024 wide: a
+    one-tile-per-step grid (tile=128) measured 2.5× slower — per-step
+    fixed costs and the (2H, 2H) accumulator read-modify-writes dominate
+    128-wide compute.
+    ``stats_ref`` (1, 2): [adv_shift, adv_inv_scale] for the
+    per-minibatch advantage normalisation (0, 1 when disabled).
+    Metric row: [pg_sum, v_sum, kl_sum, clipfrac_sum].
     All sums are raw; the caller divides by n.
     """
     clip_eps, value_clip, value_coef, ent_coef = (
         cfg["clip_eps"], cfg["value_clip_eps"], cfg["value_coef"],
         cfg["entropy_coef"],
     )
+    i = pl.program_id(0)
 
-    x = obs_ref[:, :]                       # (D, nt) f32
-    act = act_ref[:, :]                     # (A, nt)
-    old_logp = aux_ref[0:1, :]
-    old_value = aux_ref[1:2, :]
-    adv = aux_ref[2:3, :]
-    ret = aux_ref[3:4, :]
+    # ---- gather: one DMA per shuffle-tile, then one barrier -------------
+    copies = [
+        pltpu.make_async_copy(
+            data_hbm.at[:, pl.ds(perm_ref[i * group + j] * tile, tile)],
+            data_s.at[:, pl.ds(j * tile, tile)],
+            sem.at[j],
+        )
+        for j in range(group)  # static unroll
+    ]
+    for dma in copies:
+        dma.start()
+    for dma in copies:
+        dma.wait()
+
+    x = data_s[0:d, :]                      # (D, nt) f32
+    act = data_s[d:d + adim, :]             # (A, nt)
+    old_logp = data_s[d + adim:d + adim + 1, :]
+    old_value = data_s[d + adim + 1:d + adim + 2, :]
+    adv = ((data_s[d + adim + 2:d + adim + 3, :] - stats_ref[0, 0])
+           * stats_ref[0, 1])
+    ret = data_s[d + adim + 3:d + adim + 4, :]
     w1, b1 = w1_ref[:, :], b1_ref[:, :]     # (D, 2H), (1, 2H)
     w2, b2 = w2_ref[:, :], b2_ref[:, :]     # (2H, 2H), (1, 2H)
     wo, bo = wo_ref[:, :], bo_ref[:, :]     # (2H, A+1), (1, A+1)
@@ -171,71 +216,63 @@ def _kernel(cfg, adim, nt, cd,
     met_ref[:, :] += met
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("clip_eps", "value_clip_eps", "value_coef", "ent_coef",
-                     "tile", "compute_dtype"),
-)
-def ppo_loss_grads_pallas(obs, act, old_logp, old_value, adv, ret,
-                          w1, b1, w2, b2, wo, bo, log_std,
-                          clip_eps: float, value_clip_eps: float,
-                          value_coef: float, ent_coef: float,
-                          tile: int = 1024, compute_dtype: str = "bfloat16"):
-    """Fused PPO loss gradient over a transposed minibatch.
-
-    Inputs: ``obs`` (D, n) f32, ``act`` (A, n), per-sample rows (n,),
-    fused weights from :func:`networks.fused_weights`.  ``adv`` must
-    already be normalised if the config asks for it.
-    Returns ``(grads, metrics)`` where grads is a dict with keys
-    ``w1 b1 w2 b2 wo bo log_std`` (loss-mean gradients, entropy term
-    included in ``log_std``) and metrics ``{pg_loss, v_loss, approx_kl,
-    clip_frac}`` (means).
-    """
-    d, n = obs.shape
-    adim = act.shape[0]
+def _loss_grads_call(data, adv_stats, perm,
+                     w1, b1, w2, b2, wo, bo, log_std,
+                     cfg: dict, d: int, adim: int, tile: int,
+                     compute_dtype: str, m: int):
+    """Shared pallas_call: grid = ``m // group`` steps, each assembling
+    ``group`` shuffle-tiles (``perm[i*group:(i+1)*group]``) from the full
+    stacked (R8, n) HBM array into VMEM scratch and computing on the wide
+    block."""
+    r8 = data.shape[0]
     h2dim = w2.shape[0]
-    assert n % tile == 0, (n, tile)
     cd = jnp.bfloat16 if compute_dtype == "bfloat16" else None
-    cfg = dict(clip_eps=clip_eps, value_clip_eps=value_clip_eps,
-               value_coef=value_coef, entropy_coef=ent_coef)
 
-    # The kernel is float32 (its production precision); under x64 test
-    # configs the inputs may arrive as f64 — cast at the boundary.
-    f32 = jnp.float32
-    obs, act = obs.astype(f32), act.astype(f32)
-    old_logp, old_value = old_logp.astype(f32), old_value.astype(f32)
-    adv, ret = adv.astype(f32), ret.astype(f32)
-    w1, b1, w2, b2 = (x.astype(f32) for x in (w1, b1, w2, b2))
-    wo, bo, log_std = wo.astype(f32), bo.astype(f32), log_std.astype(f32)
+    # Group tiles so each grid step computes on ~1024 samples (MXU-wide
+    # matmuls, amortised accumulator updates) regardless of shuffle
+    # granularity.
+    group = max(1, 1024 // tile)
+    while m % group:
+        group //= 2
+    nt = group * tile
 
-    aux = jnp.stack([old_logp, old_value, adv, ret])              # (4, n)
-    grid = (n // tile,)
-    kernel = functools.partial(_kernel, cfg, adim, tile, cd)
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
+    kernel = functools.partial(_kernel, cfg, d, adim, tile, group, cd)
+
+    def resident(shape):
+        return pl.BlockSpec(shape, lambda i, *_: (0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m // group,),
         in_specs=[
-            pl.BlockSpec((d, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((adim, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, h2dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h2dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h2dim, h2dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h2dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h2dim, adim + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, adim + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, adim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            resident((1, 2)),
+            resident((d, h2dim)),
+            resident((1, h2dim)),
+            resident((h2dim, h2dim)),
+            resident((1, h2dim)),
+            resident((h2dim, adim + 1)),
+            resident((1, adim + 1)),
+            resident((1, adim)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r8, nt), jnp.float32),
+            pltpu.SemaphoreType.DMA((group,)),
         ],
         out_specs=[
-            pl.BlockSpec((d, h2dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h2dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h2dim, h2dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h2dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h2dim, adim + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, adim + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, adim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            resident((d, h2dim)),
+            resident((1, h2dim)),
+            resident((h2dim, h2dim)),
+            resident((1, h2dim)),
+            resident((h2dim, adim + 1)),
+            resident((1, adim + 1)),
+            resident((1, adim)),
+            resident((1, 4)),
         ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((d, h2dim), jnp.float32),
             jax.ShapeDtypeStruct((1, h2dim), jnp.float32),
@@ -246,9 +283,15 @@ def ppo_loss_grads_pallas(obs, act, old_logp, old_value, adv, ret,
             jax.ShapeDtypeStruct((1, adim), jnp.float32),
             jax.ShapeDtypeStruct((1, 4), jnp.float32),
         ],
-    )(obs, act, aux, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(perm, data, adv_stats,
+      w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
       wo, bo.reshape(1, -1), log_std.reshape(1, -1))
 
+
+def _finish(outs, n, ent_coef):
     dw1, db1, dw2, db2, dwo, dbo, dls, met = outs
     inv_n = 1.0 / n
     grads = {
@@ -265,3 +308,101 @@ def ppo_loss_grads_pallas(obs, act, old_logp, old_value, adv, ret,
         "clip_frac": met[0, 3] * inv_n,
     }
     return grads, metrics
+
+
+def _f32(*xs):
+    return tuple(x.astype(jnp.float32) for x in xs)
+
+
+def stack_batch(obs, act, old_logp, old_value, adv, ret):
+    """Stack the flattened batch into the kernel's row-padded (R8, n)
+    layout: rows [0:D) obs, [D:D+A) action, then old_logp, old_value,
+    RAW advantage, return, then zero rows up to the next multiple of 8
+    (Mosaic requires HBM sublane slices in multiples of 8 rows)."""
+    rows = jnp.concatenate([
+        obs.astype(jnp.float32), act.astype(jnp.float32),
+        jnp.stack([old_logp, old_value, adv, ret]).astype(jnp.float32),
+    ])
+    r, n = rows.shape
+    r8 = -(-r // 8) * 8
+    if r8 != r:
+        rows = jnp.concatenate([rows, jnp.zeros((r8 - r, n), jnp.float32)])
+    return rows
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("clip_eps", "value_clip_eps", "value_coef", "ent_coef",
+                     "tile", "compute_dtype"),
+)
+def ppo_loss_grads_pallas(obs, act, old_logp, old_value, adv, ret,
+                          w1, b1, w2, b2, wo, bo, log_std,
+                          clip_eps: float, value_clip_eps: float,
+                          value_coef: float, ent_coef: float,
+                          tile: int = 1024, compute_dtype: str = "bfloat16"):
+    """Fused PPO loss gradient over a CONTIGUOUS transposed minibatch.
+
+    Inputs: ``obs`` (D, n) f32, ``act`` (A, n), per-sample rows (n,),
+    fused weights from :func:`networks.fused_weights`.  ``adv`` must
+    already be normalised if the config asks for it.
+    Returns ``(grads, metrics)`` where grads is a dict with keys
+    ``w1 b1 w2 b2 wo bo log_std`` (loss-mean gradients, entropy term
+    included in ``log_std``) and metrics ``{pg_loss, v_loss, approx_kl,
+    clip_frac}`` (means).
+    """
+    d, n = obs.shape
+    adim = act.shape[0]
+    assert n % tile == 0, (n, tile)
+    cfg = dict(clip_eps=clip_eps, value_clip_eps=value_clip_eps,
+               value_coef=value_coef, entropy_coef=ent_coef)
+    # The kernel is float32 (its production precision); under x64 test
+    # configs the inputs may arrive as f64 — cast at the boundary.
+    w1, b1, w2, b2 = _f32(w1, b1, w2, b2)
+    wo, bo, log_std = _f32(wo, bo, log_std)
+
+    data = stack_batch(obs, act, old_logp, old_value, adv, ret)
+    m = n // tile
+    perm = jnp.arange(m, dtype=jnp.int32)
+    adv_stats = jnp.array([[0.0, 1.0]], jnp.float32)
+    outs = _loss_grads_call(data, adv_stats, perm,
+                            w1, b1, w2, b2, wo, bo, log_std,
+                            cfg, d, adim, tile, compute_dtype, m)
+    return _finish(outs, n, ent_coef)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d", "adim", "clip_eps", "value_clip_eps",
+                     "value_coef", "ent_coef", "tile", "compute_dtype"),
+)
+def ppo_loss_grads_pallas_gather(data, adv_stats, perm,
+                                 w1, b1, w2, b2, wo, bo, log_std,
+                                 d: int, adim: int,
+                                 clip_eps: float, value_clip_eps: float,
+                                 value_coef: float, ent_coef: float,
+                                 tile: int, compute_dtype: str = "bfloat16"):
+    """Fused gather + PPO loss gradient: the minibatch is DEFINED by
+    ``perm`` — int32 (m,) shuffle-tile indices into the FULL flattened
+    batch — and never materialised.  ``data`` is the whole rollout in the
+    :func:`stack_batch` row layout (R8, n — built ONCE per update, with
+    the RAW advantage row); each grid step DMAs its tiles directly from
+    the permuted positions.  ``adv_stats`` (1, 2) = [shift, inv_scale]
+    applied to the adv row in-kernel (per-minibatch advantage
+    normalisation).  ``tile`` must keep HBM column slices lane-aligned
+    (tile % 128 == 0) on real TPUs.
+    Returns the same ``(grads, metrics)`` as :func:`ppo_loss_grads_pallas`.
+    """
+    n = data.shape[1]
+    assert n % tile == 0, (n, tile)
+    m = perm.shape[0]
+    cfg = dict(clip_eps=clip_eps, value_clip_eps=value_clip_eps,
+               value_coef=value_coef, entropy_coef=ent_coef)
+    data = data.astype(jnp.float32)
+    adv_stats = adv_stats.astype(jnp.float32)
+    w1, b1, w2, b2 = _f32(w1, b1, w2, b2)
+    wo, bo, log_std = _f32(wo, bo, log_std)
+    outs = _loss_grads_call(data, adv_stats,
+                            perm.astype(jnp.int32),
+                            w1, b1, w2, b2, wo, bo, log_std,
+                            cfg, d, adim, tile, compute_dtype, m)
+    return _finish(outs, m * tile, ent_coef)

@@ -552,6 +552,7 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
     baselines' PPO2 under mpirun."""
     optimizer = make_optimizer(cfg)
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    fused_loss_auto = fused_loss is None
     if fused_loss is None:
         fused_loss = _fused_loss_enabled(cfg)
 
@@ -639,6 +640,28 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
     def take_s(x, tidx):  # (n,) -> (mb,)
         return x.reshape(n_tiles, tile)[tidx].reshape(mb_size)
 
+    # Fused-loss path: the minibatch gather happens INSIDE the Pallas
+    # kernel (each grid step DMAs shuffle-tile perm[i] straight from the
+    # full batch — ops/pallas_ppo.ppo_loss_grads_pallas_gather), so the
+    # minibatch is never materialised.  The XLA take-gathers above cost
+    # ~5.5 ms/update (profiled, 1M-sample updates) because a 128-lane x
+    # 1-sublane granule defeats the copy pipeline; only the (n,) adv row
+    # is still gathered, for the per-minibatch normalisation moments.
+    if fused_loss and fused_loss_auto and tile % 128:
+        # The in-kernel gather DMAs (R8, tile) HBM slices; Mosaic needs the
+        # column slice lane-aligned.  Auto-halved tiles below 128 only occur
+        # at toy scales where the XLA path is equally fast — fall back.
+        # (An EXPLICIT fused_loss=True is honoured: tests run the kernel in
+        # interpret mode, where unaligned slices are legal.)
+        fused_loss = False
+    if fused_loss:
+        from ..ops import pallas_ppo
+
+        data_full = pallas_ppo.stack_batch(
+            flat.obs, flat.action, flat.log_prob, flat.value,
+            flat_adv, flat_ret,
+        )  # (R8, n), raw advantage row — normalisation happens in-kernel
+
     def epoch(carry, _):
         params, opt_state, k = carry
         k, k_perm = jax.random.split(k)
@@ -646,33 +669,41 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
 
         def minibatch(carry_in, tidx):
             params_, opt_state_ = carry_in
-            mb = Transition(
-                take_d(flat.obs, tidx), take_d(flat.action, tidx),
-                take_s(flat.log_prob, tidx), take_s(flat.value, tidx),
-                take_s(flat.reward, tidx), take_s(flat.done, tidx),
-            )
-            adv = take_s(flat_adv, tidx)
-            if cfg.normalize_advantages:
-                adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
-            ret = take_s(flat_ret, tidx)
             if fused_loss:
                 from ..ops import pallas_ppo
 
+                if cfg.normalize_advantages:
+                    adv_mb = take_s(flat_adv, tidx)
+                    shift = jnp.mean(adv_mb)
+                    inv = 1.0 / (jnp.std(adv_mb) + 1e-8)
+                else:
+                    shift, inv = 0.0, 1.0
+                adv_stats = jnp.stack(
+                    [jnp.asarray(shift, jnp.float32),
+                     jnp.asarray(inv, jnp.float32)]
+                ).reshape(1, 2)
                 fl, wo_f, bo_f = networks.fused_weights(params_)
                 (w1f, b1f), (w2f, b2f) = fl
-                ktile = 1024
-                while mb_size % ktile:
-                    ktile //= 2
-                g, pmet = pallas_ppo.ppo_loss_grads_pallas(
-                    mb.obs, mb.action, mb.log_prob, mb.value, adv, ret,
+                g, pmet = pallas_ppo.ppo_loss_grads_pallas_gather(
+                    data_full, adv_stats, tidx.astype(jnp.int32),
                     w1f, b1f, w2f, b2f, wo_f, bo_f, params_["log_std"],
+                    d=flat.obs.shape[0], adim=env.action_dim,
                     clip_eps=cfg.clip_eps, value_clip_eps=cfg.value_clip_eps,
                     value_coef=cfg.value_coef, ent_coef=cfg.entropy_coef,
-                    tile=ktile, compute_dtype=cfg.compute_dtype,
+                    tile=tile, compute_dtype=cfg.compute_dtype,
                 )
                 grads = _unfuse_grads(g, cfg.hidden[0], env.action_dim)
                 metrics = {**pmet, "entropy": networks.entropy(params_["log_std"])}
             else:
+                mb = Transition(
+                    take_d(flat.obs, tidx), take_d(flat.action, tidx),
+                    take_s(flat.log_prob, tidx), take_s(flat.value, tidx),
+                    take_s(flat.reward, tidx), take_s(flat.done, tidx),
+                )
+                adv = take_s(flat_adv, tidx)
+                if cfg.normalize_advantages:
+                    adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
+                ret = take_s(flat_ret, tidx)
                 (_, metrics), grads = jax.value_and_grad(ppo_loss, has_aux=True)(
                     params_, cfg, mb, adv, ret, cd, state.kl_beta
                 )
