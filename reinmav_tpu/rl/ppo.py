@@ -552,7 +552,7 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
     baselines' PPO2 under mpirun."""
     optimizer = make_optimizer(cfg)
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-    fused_loss_auto = fused_loss is None
+    fused_loss_auto = fused_loss is None and cfg.fused_loss != "on"
     if fused_loss is None:
         fused_loss = _fused_loss_enabled(cfg)
 
