@@ -35,10 +35,31 @@ def evaluate(
     num_envs: int = 256,
     horizon: int = 1000,
 ) -> EvalStats:
-    """Greedy-mean policy rollout with episode statistics.
+    """Greedy-mean PPO-policy rollout with episode statistics (see
+    :func:`evaluate_policy` for the generic version)."""
 
-    Episodes that are still running at the horizon are excluded from
-    return/length means (only completed episodes count).
+    def policy(obs):
+        if obs_norm is not None:
+            obs = ppo._normalize(obs, obs_norm)
+        mean, _, _ = networks.apply(params, obs)
+        return mean
+
+    return evaluate_policy(env, policy, key, num_envs, horizon)
+
+
+def evaluate_policy(
+    env: EnvDef,
+    policy,
+    key: jax.Array,
+    num_envs: int = 256,
+    horizon: int = 1000,
+) -> EvalStats:
+    """Deterministic-policy rollout with episode statistics.
+
+    ``policy``: (B, obs_dim) raw observations -> (B, action_dim) actions
+    (any normalisation is the policy's own business).  Episodes still
+    running at the horizon are excluded from return/length means (only
+    completed episodes count).
     """
     k_reset, k_run = jax.random.split(key)
     states = env.vreset(jax.random.split(k_reset, num_envs))
@@ -47,10 +68,7 @@ def evaluate(
         s, k, ep_ret, ep_len, tot_ret, tot_len, n_eps = carry
         k, k_reset2 = jax.random.split(k)
         obs = s[:, : env.obs_dim]
-        if obs_norm is not None:
-            obs = ppo._normalize(obs, obs_norm)
-        mean, _, _ = networks.apply(params, obs)
-        out = env.autoreset_step(s, mean, k_reset2)
+        out = env.autoreset_step(s, policy(obs), k_reset2)
         # Episode accounting must follow the same boundary auto-reset
         # uses (done | truncated) — a time_limit-wrapped env resets at
         # the horizon with done=False, truncated=True.

@@ -35,13 +35,24 @@ def build_parser() -> argparse.ArgumentParser:
     # train_hovering.py:34-54).
     p = argparse.ArgumentParser(description="TPU-native PPO training for reinmav envs")
     p.add_argument("--env", default="quadrotor3d-v0")
-    p.add_argument("--alg", default="ppo", choices=["ppo", "a2c", "ppo_kl"],
+    p.add_argument("--alg", default="ppo",
+                   choices=["ppo", "a2c", "ppo_kl", "sac"],
                    help="a2c = single-pass advantage actor-critic: the PPO "
                         "machinery with one epoch, one batch and no ratio "
                         "clipping (the surrogate reduces to the vanilla PG "
                         "loss at ratio=1).  ppo_kl = adaptive-KL-penalty "
                         "PPO (baselines ppo1 / TRPO-flavoured: beta*KL "
-                        "instead of clipping, beta adapted to --kl_target)")
+                        "instead of clipping, beta adapted to --kl_target). "
+                        "sac = off-policy soft actor-critic with a "
+                        "TPU-resident replay buffer (rl/sac.py)")
+    # SAC-only knobs (ignored by the on-policy algs).
+    p.add_argument("--buffer_capacity", type=int, default=1 << 20)
+    p.add_argument("--batch_size", type=int, default=2048)
+    p.add_argument("--grad_steps", type=int, default=1,
+                   help="SAC gradient updates per collected env step")
+    p.add_argument("--warmup_steps", type=int, default=10_000)
+    p.add_argument("--tau", type=float, default=0.005)
+    p.add_argument("--reward_scale", type=float, default=1.0)
     p.add_argument("--kl_target", type=float, default=0.01,
                    help="per-update KL target for --alg=ppo_kl")
     p.add_argument("--num_timesteps", type=float, default=1e6)
@@ -85,6 +96,64 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-device dense rollouts + fused loss kernels "
                         "(MPI-recipe semantics; see ppo.make_train_step_shardmap)")
     return p
+
+
+def train_sac(args):
+    """Off-policy training loop (--alg=sac): iterations are single
+    batched env steps + replay-sampled gradient updates, folded
+    ``--updates_per_jit`` at a time into one compiled call."""
+    from . import sac
+
+    env = make(args.env)
+    cfg = sac.SacConfig(
+        num_envs=args.num_env,
+        buffer_capacity=args.buffer_capacity,
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+        gamma=args.gamma,
+        tau=args.tau,
+        grad_steps=args.grad_steps,
+        warmup_steps=args.warmup_steps,
+        reward_scale=args.reward_scale,
+        hidden=tuple([args.num_hidden] * args.num_layers),
+    )
+    k = max(1, args.updates_per_jit)
+    fn = sac.make_train_iters(env, cfg, k)
+    state = sac.init_state(env, cfg, jax.random.PRNGKey(args.seed))
+    if args.load_path:
+        state = ckpt.restore(args.load_path, state)
+
+    steps_per_call = cfg.num_envs * k
+    num_calls = max(1, int(args.num_timesteps) // steps_per_call)
+    logger = MetricsLogger(log_dir=args.log_dir)
+    last_t, last_call = time.perf_counter(), 0
+    for call in range(1, num_calls + 1):
+        state, metrics = fn(state)
+        if call % args.log_interval == 0 or call == num_calls:
+            float(np.asarray(state.total_steps))  # transfer fence
+            now = time.perf_counter()
+            sps = steps_per_call * (call - last_call) / max(now - last_t, 1e-9)
+            last_t, last_call = now, call
+            logger.log(call, {"env_steps": int(call) * steps_per_call,
+                              "steps_per_sec": round(sps),
+                              **jax.device_get(metrics)})
+        if args.eval_interval and call % args.eval_interval == 0:
+            stats = evaluate.evaluate_policy(
+                env,
+                lambda obs: sac.greedy_action(env, state.actor, obs),
+                jax.random.fold_in(state.key, call),
+                num_envs=args.eval_envs, horizon=args.eval_horizon,
+            )
+            logger.log(call, {"eval_mean_return": stats.mean_return,
+                              "eval_mean_length": stats.mean_length,
+                              "eval_episodes": stats.num_episodes,
+                              "eval_running_return": stats.mean_running_return,
+                              "eval_survival_frac": stats.survival_frac})
+        if args.save_path and call % args.save_interval == 0:
+            ckpt.save(args.save_path, state)
+    if args.save_path:
+        ckpt.save(args.save_path, state)
+    return state
 
 
 def train(args) -> ppo.TrainState:
@@ -238,6 +307,12 @@ def play(args, state: ppo.TrainState | None = None):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.alg == "sac":
+        if args.play:
+            raise SystemExit("--play is the PPO render loop; for SAC use "
+                             "--eval_interval (greedy evaluation) instead")
+        train_sac(args)
+        return
     state = None
     if not args.play or args.load_path is None:
         state = train(args)

@@ -1,0 +1,391 @@
+"""Soft Actor-Critic — off-policy learner, fully jitted, TPU-native.
+
+Generalises the learner layer beyond on-policy PPO: the reference's
+``run.py`` could resolve ANY baselines algorithm module (off-policy ddpg
+included, ``gym_reinmav/run.py:125-138``); this module is the off-policy
+representative, re-designed TPU-first rather than transcribed:
+
+* **Replay buffer lives on the TPU** as ONE feature-major ``(R, C)``
+  float32 array (rows: obs, action, reward, next_obs, done) — the
+  transposed layout the whole framework uses (CLAUDE.md: feature-minor
+  lane-pads D≈20 → 128).  Inserts are ``lax.dynamic_update_slice``
+  column blocks; ``C`` is rounded to a multiple of the per-iteration
+  insert width so a write NEVER straddles the ring edge (static shapes,
+  no modular two-piece writes).  Sampling is a column gather of a
+  ``(R, batch)`` block.  Nothing ever crosses the host boundary.
+* **The entire train loop is one compiled program**: a ``lax.scan`` over
+  iterations, each = one batched env step (auto-reset, transposed
+  layout) + buffer insert + ``grad_steps`` gradient updates + polyak
+  target blend.  No per-transition Python, no host replay memory.
+* Warmup (uniform-random actions, no updates) is handled INSIDE the
+  compiled loop with masks — both branches are traced once; the mask
+  flips as the iteration counter passes the thresholds.
+
+Algorithm: twin Q networks with min-clipping, tanh-squashed
+state-dependent Gaussian policy, entropy temperature alpha auto-tuned to
+``target_entropy`` (default -action_dim).  Actions are stored and fed to
+the critics in policy space [-1, 1]; the env boundary applies the affine
+map to ``[env.action_low, env.action_high]``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..envs.core import EnvDef
+from . import networks
+
+LOG_STD_MIN = -20.0
+LOG_STD_MAX = 2.0
+
+
+class SacConfig(NamedTuple):
+    num_envs: int = 256
+    buffer_capacity: int = 1 << 20
+    batch_size: int = 2048
+    learning_rate: float = 3e-4
+    alpha_lr: float = 3e-4
+    gamma: float = 0.99
+    tau: float = 0.005               # polyak blend for target critics
+    target_entropy: float | None = None  # None -> -action_dim
+    init_log_alpha: float = 0.0
+    hidden: tuple = (256, 256)
+    grad_steps: int = 1              # gradient updates per env step
+    warmup_steps: int = 10_000       # total uniform-random env steps
+    reward_scale: float = 1.0
+    max_grad_norm: float | None = None
+
+
+class SacState(NamedTuple):
+    actor: Any
+    q1: Any
+    q2: Any
+    q1_target: Any
+    q2_target: Any
+    log_alpha: jnp.ndarray
+    opt_actor: Any
+    opt_q: Any
+    opt_alpha: Any
+    buffer: jnp.ndarray      # (R, C) feature-major ring
+    ptr: jnp.ndarray         # int32: next insert column
+    filled: jnp.ndarray      # int32: valid columns (<= C)
+    env_states: jnp.ndarray  # (B, state_dim) row layout at the API edge
+    key: jax.Array
+    total_steps: jnp.ndarray  # int64-safe int32 env-step counter
+
+
+# ---------------------------------------------------------------------------
+# networks (transposed: features leading, batch trailing — matmul-dense)
+# ---------------------------------------------------------------------------
+
+
+def _mlp_init(key, dims, dtype=jnp.float32):
+    layers = []
+    for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+        k = jax.random.fold_in(key, i)
+        scale = 1e-2 if i == len(dims) - 2 else jnp.sqrt(2.0)
+        w = jax.nn.initializers.orthogonal(scale)(k, (din, dout), dtype)
+        layers.append({"w": w, "b": jnp.zeros((dout,), dtype)})
+    return layers
+
+
+def _mlp_t(layers, x_t):
+    """ReLU MLP on (features, batch); linear final layer."""
+    for i, layer in enumerate(layers):
+        x_t = jax.lax.dot_general(
+            layer["w"], x_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + layer["b"][:, None]
+        if i < len(layers) - 1:
+            x_t = jax.nn.relu(x_t)
+    return x_t
+
+
+def init_sac_params(key, obs_dim: int, action_dim: int, hidden):
+    ka, k1, k2 = jax.random.split(key, 3)
+    actor = _mlp_init(ka, (obs_dim, *hidden, 2 * action_dim))
+    q1 = _mlp_init(k1, (obs_dim + action_dim, *hidden, 1))
+    q2 = _mlp_init(k2, (obs_dim + action_dim, *hidden, 1))
+    return actor, q1, q2
+
+
+def actor_dist_t(actor, obs_t, action_dim: int):
+    """-> (mean_t, log_std_t), each (A, batch); log_std clamped to the
+    standard SAC range."""
+    out = _mlp_t(actor, obs_t)
+    mean = out[:action_dim]
+    log_std = jnp.clip(out[action_dim:], LOG_STD_MIN, LOG_STD_MAX)
+    return mean, log_std
+
+
+def sample_squashed_t(actor, obs_t, key, action_dim: int):
+    """Reparameterised tanh-Gaussian sample -> (action_t in [-1,1],
+    log_prob (batch,)).  The squash correction uses the numerically
+    stable identity log(1 - tanh(u)^2) = 2(log 2 - u - softplus(-2u))."""
+    mean, log_std = actor_dist_t(actor, obs_t, action_dim)
+    std = jnp.exp(log_std)
+    u = mean + std * jax.random.normal(key, mean.shape, jnp.float32)
+    a = jnp.tanh(u)
+    logp_u = jnp.sum(
+        -0.5 * jnp.square((u - mean) / std) - log_std
+        - 0.5 * jnp.log(2.0 * jnp.pi),
+        axis=0,
+    )
+    squash = jnp.sum(2.0 * (jnp.log(2.0) - u - jax.nn.softplus(-2.0 * u)), axis=0)
+    return a, logp_u - squash
+
+
+def q_value_t(q, obs_t, act_t):
+    """Twin-critic helper: -> (batch,) values."""
+    return _mlp_t(q, jnp.concatenate([obs_t, act_t], axis=0))[0]
+
+
+# ---------------------------------------------------------------------------
+# replay buffer
+# ---------------------------------------------------------------------------
+
+
+def _row_dims(env: EnvDef):
+    d, a = env.obs_dim, env.action_dim
+    return d + a + 1 + d + 1  # obs, action, reward, next_obs, done
+
+
+def _capacity(cfg: SacConfig, env: EnvDef) -> int:
+    """Ring capacity rounded DOWN to a multiple of the insert width so a
+    block write never straddles the edge."""
+    c = (cfg.buffer_capacity // cfg.num_envs) * cfg.num_envs
+    if c < max(cfg.batch_size, cfg.num_envs):
+        raise ValueError(
+            f"buffer_capacity {cfg.buffer_capacity} too small for "
+            f"num_envs {cfg.num_envs} / batch {cfg.batch_size}"
+        )
+    return c
+
+
+def buffer_insert(buffer, ptr, filled, block):
+    """Insert a (R, n) column block at ``ptr`` (never straddles: capacity
+    is a multiple of n).  Returns (buffer, ptr, filled)."""
+    n = block.shape[1]
+    cap = buffer.shape[1]
+    # The ring is float32 by design (HBM footprint); on the float64 CPU
+    # test backend the env block arrives wider — cast at the boundary.
+    buffer = jax.lax.dynamic_update_slice(
+        buffer, block.astype(buffer.dtype), (jnp.zeros((), ptr.dtype), ptr)
+    )
+    ptr = jnp.where(ptr + n >= cap, 0, ptr + n).astype(jnp.int32)
+    filled = jnp.minimum(filled + n, cap).astype(jnp.int32)
+    return buffer, ptr, filled
+
+
+def buffer_sample(buffer, filled, key, batch: int):
+    """Uniform (R, batch) column gather from the filled prefix."""
+    # uniform * filled (floor) instead of randint: dynamic maxval without
+    # host involvement; the modulo bias at 2^-24 granularity is nil.
+    u = jax.random.uniform(key, (batch,), jnp.float32)
+    idx = jnp.minimum((u * filled.astype(jnp.float32)).astype(jnp.int32),
+                      filled - 1)
+    return buffer[:, idx]
+
+
+# ---------------------------------------------------------------------------
+# losses / update
+# ---------------------------------------------------------------------------
+
+
+def critic_loss(q_params, cfg, env, batch_rows, target_q, key, actor,
+                log_alpha):
+    """MSE of both critics against the soft Bellman target.
+
+    ``batch_rows`` is the sampled (R, batch) block (see _row_dims).
+    """
+    d, a = env.obs_dim, env.action_dim
+    obs = batch_rows[:d]
+    act = batch_rows[d:d + a]
+    rew = batch_rows[d + a]
+    nobs = batch_rows[d + a + 1:2 * d + a + 1]
+    done = batch_rows[2 * d + a + 1]
+
+    q1t, q2t = target_q
+    na, nlogp = sample_squashed_t(actor, nobs, key, a)
+    tq = jnp.minimum(q_value_t(q1t, nobs, na), q_value_t(q2t, nobs, na))
+    alpha = jnp.exp(log_alpha)
+    target = rew * cfg.reward_scale + cfg.gamma * (1.0 - done) * (
+        tq - alpha * nlogp
+    )
+    target = jax.lax.stop_gradient(target)
+    q1v = q_value_t(q_params["q1"], obs, act)
+    q2v = q_value_t(q_params["q2"], obs, act)
+    loss = jnp.mean(jnp.square(q1v - target) + jnp.square(q2v - target))
+    return loss, (jnp.mean(q1v), jnp.mean(target))
+
+
+def actor_alpha_loss(aa_params, cfg, env, batch_rows, q1, q2, key,
+                     target_entropy):
+    d, a = env.obs_dim, env.action_dim
+    obs = batch_rows[:d]
+    act_s, logp = sample_squashed_t(aa_params["actor"], obs, key, a)
+    qmin = jnp.minimum(q_value_t(q1, obs, act_s), q_value_t(q2, obs, act_s))
+    alpha = jnp.exp(jax.lax.stop_gradient(aa_params["log_alpha"]))
+    pi_loss = jnp.mean(alpha * logp - qmin)
+    # alpha gradient: d/d log_alpha of -log_alpha*(logp + H*) with logp
+    # detached (standard auto-temperature objective).
+    a_loss = -aa_params["log_alpha"] * jnp.mean(
+        jax.lax.stop_gradient(logp) + target_entropy
+    )
+    return pi_loss + a_loss, (pi_loss, -jnp.mean(logp), alpha)
+
+
+def _scale_action_t(env: EnvDef, a_t):
+    """[-1,1] policy space -> env action range."""
+    lo, hi = env.action_low, env.action_high
+    return lo + (a_t + 1.0) * (0.5 * (hi - lo))
+
+
+def make_optimizers(cfg: SacConfig):
+    def maybe_clip(tx):
+        if cfg.max_grad_norm is not None:
+            return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+        return tx
+
+    return (
+        maybe_clip(optax.adam(cfg.learning_rate)),   # actor (+alpha piggybacks)
+        maybe_clip(optax.adam(cfg.learning_rate)),   # critics
+        optax.adam(cfg.alpha_lr),                    # alpha
+    )
+
+
+def init_state(env: EnvDef, cfg: SacConfig, key: jax.Array) -> SacState:
+    k_params, k_env, k_loop = jax.random.split(key, 3)
+    actor, q1, q2 = init_sac_params(k_params, env.obs_dim, env.action_dim,
+                                    cfg.hidden)
+    opt_a, opt_q, opt_al = make_optimizers(cfg)
+    log_alpha = jnp.asarray(cfg.init_log_alpha, jnp.float32)
+    cap = _capacity(cfg, env)
+    return SacState(
+        actor=actor, q1=q1, q2=q2,
+        q1_target=jax.tree.map(jnp.copy, q1),
+        q2_target=jax.tree.map(jnp.copy, q2),
+        log_alpha=log_alpha,
+        opt_actor=opt_a.init(actor),
+        opt_q=opt_q.init({"q1": q1, "q2": q2}),
+        opt_alpha=opt_al.init(log_alpha),
+        buffer=jnp.zeros((_row_dims(env), cap), jnp.float32),
+        ptr=jnp.zeros((), jnp.int32),
+        filled=jnp.zeros((), jnp.int32),
+        env_states=env.vreset(jax.random.split(k_env, cfg.num_envs)),
+        key=k_loop,
+        total_steps=jnp.zeros((), jnp.int32),
+    )
+
+
+def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
+                num_iters: int):
+    """Run ``num_iters`` SAC iterations (each: one batched env step +
+    ``cfg.grad_steps`` updates) as ONE compiled scan.  Returns
+    ``(state, metrics)`` with metrics averaged over the scan in-jit
+    (single host fetch — tunnel rule, CLAUDE.md)."""
+    opt_a, opt_q, opt_al = make_optimizers(cfg)
+    target_entropy = (
+        -float(env.action_dim)
+        if cfg.target_entropy is None else cfg.target_entropy
+    )
+    d, a = env.obs_dim, env.action_dim
+
+    def iteration(s: SacState, _):
+        key, k_act, k_rand, k_reset, k_loop = jax.random.split(s.key, 5)
+
+        # ---- collect: one auto-reset env step across the batch --------
+        states_t = s.env_states.T                      # (D, B)
+        obs_t = states_t[:d]
+        a_pol, _ = sample_squashed_t(s.actor, obs_t, k_act, a)
+        a_rand = jax.random.uniform(k_rand, a_pol.shape, jnp.float32,
+                                    -1.0, 1.0)
+        warm = s.total_steps < cfg.warmup_steps
+        a_t = jnp.where(warm, a_rand, a_pol)           # [-1, 1]
+        out = env.autoreset_step_t(states_t, _scale_action_t(env, a_t),
+                                   k_reset)
+        # Post-reset obs lands in the next_obs slot for done columns —
+        # harmless: the Bellman target multiplies it by (1 - done).
+        block = jnp.concatenate([
+            obs_t, a_t,
+            out.reward[None], out.obs[:d], out.done[None].astype(jnp.float32),
+        ])
+        buffer, ptr, filled = buffer_insert(s.buffer, s.ptr, s.filled, block)
+        total = s.total_steps + cfg.num_envs
+        ready = (filled >= cfg.batch_size) & (total >= cfg.warmup_steps)
+        gate = ready.astype(jnp.float32)
+
+        # ---- update(s) -------------------------------------------------
+        def one_update(carry, k):
+            (actor, q1, q2, q1t, q2t, log_alpha,
+             oa, oq, oal) = carry
+            k_s, k_tgt, k_pi = jax.random.split(k, 3)
+            rows = buffer_sample(buffer, jnp.maximum(filled, 1), k_s,
+                                 cfg.batch_size)
+            (qloss, (q_mean, tgt_mean)), qg = jax.value_and_grad(
+                critic_loss, has_aux=True
+            )({"q1": q1, "q2": q2}, cfg, env, rows, (q1t, q2t), k_tgt,
+              actor, log_alpha)
+            qg = jax.tree.map(lambda g: g * gate, qg)
+            qu, oq = opt_q.update(qg, oq, {"q1": q1, "q2": q2})
+            qp = optax.apply_updates({"q1": q1, "q2": q2}, qu)
+            q1, q2 = qp["q1"], qp["q2"]
+
+            (ploss, (pi_loss, ent, alpha)), ag = jax.value_and_grad(
+                actor_alpha_loss, has_aux=True
+            )({"actor": actor, "log_alpha": log_alpha}, cfg, env, rows,
+              q1, q2, k_pi, target_entropy)
+            agrads = jax.tree.map(lambda g: g * gate, ag["actor"])
+            au, oa = opt_a.update(agrads, oa, actor)
+            actor = optax.apply_updates(actor, au)
+            alu, oal = opt_al.update(ag["log_alpha"] * gate, oal, log_alpha)
+            log_alpha = optax.apply_updates(log_alpha, alu)
+
+            blend = cfg.tau * gate
+            q1t = jax.tree.map(lambda t, o: (1 - blend) * t + blend * o,
+                               q1t, q1)
+            q2t = jax.tree.map(lambda t, o: (1 - blend) * t + blend * o,
+                               q2t, q2)
+            met = {"q_loss": qloss, "pi_loss": pi_loss, "entropy": ent,
+                   "alpha": alpha, "q_mean": q_mean, "target_mean": tgt_mean}
+            return (actor, q1, q2, q1t, q2t, log_alpha, oa, oq, oal), met
+
+        carry0 = (s.actor, s.q1, s.q2, s.q1_target, s.q2_target,
+                  s.log_alpha, s.opt_actor, s.opt_q, s.opt_alpha)
+        carry, met = jax.lax.scan(
+            one_update, carry0, jax.random.split(k_loop, cfg.grad_steps)
+        )
+        (actor, q1, q2, q1t, q2t, log_alpha, oa, oq, oal) = carry
+        met = jax.tree.map(jnp.mean, met)
+        met["mean_reward"] = jnp.mean(out.reward)
+        met["done_frac"] = jnp.mean(out.done.astype(jnp.float32))
+        met["buffer_filled"] = filled.astype(jnp.float32)
+
+        new = SacState(
+            actor=actor, q1=q1, q2=q2, q1_target=q1t, q2_target=q2t,
+            log_alpha=log_alpha, opt_actor=oa, opt_q=oq, opt_alpha=oal,
+            buffer=buffer, ptr=ptr, filled=filled,
+            env_states=out.state.T, key=key, total_steps=total,
+        )
+        return new, met
+
+    state, metrics = jax.lax.scan(iteration, state, None, length=num_iters)
+    return state, jax.tree.map(jnp.mean, metrics)
+
+
+def make_train_iters(env: EnvDef, cfg: SacConfig, num_iters: int):
+    return jax.jit(lambda s: train_iters(env, cfg, s, num_iters),
+                   donate_argnums=(0,))
+
+
+def greedy_action(env: EnvDef, actor, obs, hidden=None):
+    """Deterministic (tanh-mean) action for evaluation, row layout."""
+    mean, _ = actor_dist_t(actor, obs.T if obs.ndim == 2 else obs[:, None],
+                           env.action_dim)
+    a_t = jnp.tanh(mean)
+    scaled = _scale_action_t(env, a_t)
+    return scaled.T if obs.ndim == 2 else scaled[:, 0]

@@ -1,0 +1,152 @@
+"""SAC learner: buffer ring semantics, squashed-Gaussian math, Bellman
+target vs a NumPy hand-roll, determinism, and a learning smoke test.
+(CPU backend via conftest; float32.)"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import reinmav_tpu
+from reinmav_tpu.rl import sac
+
+
+def test_buffer_insert_wraps_and_saturates():
+    buf = jnp.zeros((3, 8), jnp.float32)
+    ptr = jnp.zeros((), jnp.int32)
+    filled = jnp.zeros((), jnp.int32)
+    for i in range(5):  # 5 blocks of 4 into capacity 8 -> wraps once
+        block = jnp.full((3, 4), float(i + 1), jnp.float32)
+        buf, ptr, filled = sac.buffer_insert(buf, ptr, filled, block)
+    assert int(filled) == 8
+    assert int(ptr) == 4  # 5 blocks * 4 = 20 -> 20 % 8
+    # Ring content: newest blocks win — block 5 at cols 0-3, block 4 at 4-7.
+    np.testing.assert_array_equal(np.asarray(buf[0]), [5, 5, 5, 5, 4, 4, 4, 4])
+
+
+def test_buffer_sample_stays_in_filled_prefix():
+    cap = 64
+    buf = jnp.concatenate(
+        [jnp.ones((2, 16)), jnp.full((2, cap - 16), np.nan)], axis=1
+    )
+    rows = sac.buffer_sample(buf, jnp.asarray(16, jnp.int32),
+                             jax.random.PRNGKey(0), 512)
+    assert rows.shape == (2, 512)
+    assert np.isfinite(np.asarray(rows)).all()  # never touched the NaN tail
+
+
+def test_squashed_log_prob_matches_naive():
+    """Stable squash correction == naive log(1 - tanh(u)^2) at moderate u."""
+    key = jax.random.PRNGKey(1)
+    obs_dim, a_dim, n = 6, 3, 128
+    actor, _, _ = sac.init_sac_params(key, obs_dim, a_dim, (32, 32))
+    obs_t = jax.random.normal(key, (obs_dim, n))
+    a, logp = sac.sample_squashed_t(actor, obs_t, jax.random.PRNGKey(2), a_dim)
+    assert a.shape == (a_dim, n) and logp.shape == (n,)
+    assert float(jnp.max(jnp.abs(a))) <= 1.0
+
+    mean, log_std = sac.actor_dist_t(actor, obs_t, a_dim)
+    # Reconstruct u = atanh(a) and evaluate the naive density.
+    u = jnp.arctanh(jnp.clip(a, -1 + 1e-7, 1 - 1e-7))
+    std = jnp.exp(log_std)
+    logp_u = jnp.sum(
+        -0.5 * jnp.square((u - mean) / std) - log_std
+        - 0.5 * jnp.log(2 * jnp.pi), axis=0,
+    )
+    naive = logp_u - jnp.sum(jnp.log(1.0 - jnp.square(jnp.tanh(u)) + 1e-9),
+                             axis=0)
+    np.testing.assert_allclose(np.asarray(logp), np.asarray(naive),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_critic_target_matches_numpy():
+    """The soft Bellman target inside critic_loss equals a NumPy
+    hand-roll: r*scale + gamma*(1-d)*(min(Q1',Q2')(s',a') - alpha*logp')."""
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = sac.SacConfig(reward_scale=0.5, gamma=0.9)
+    d, a = env.obs_dim, env.action_dim
+    key = jax.random.PRNGKey(3)
+    actor, q1, q2 = sac.init_sac_params(key, d, a, (32, 32))
+    n = 64
+    rows = jax.random.normal(jax.random.PRNGKey(4), (sac._row_dims(env), n))
+    rows = rows.at[2 * d + a + 1].set(
+        (rows[2 * d + a + 1] > 0).astype(jnp.float32))  # done in {0,1}
+    log_alpha = jnp.asarray(0.3, jnp.float32)
+    k_tgt = jax.random.PRNGKey(5)
+
+    loss, (q_mean, tgt_mean) = sac.critic_loss(
+        {"q1": q1, "q2": q2}, cfg, env, rows, (q1, q2), k_tgt, actor,
+        log_alpha)
+
+    nobs = rows[d + a + 1:2 * d + a + 1]
+    na, nlogp = sac.sample_squashed_t(actor, nobs, k_tgt, a)
+    tq = jnp.minimum(sac.q_value_t(q1, nobs, na),
+                     sac.q_value_t(q2, nobs, na))
+    rew, done = np.asarray(rows[d + a]), np.asarray(rows[2 * d + a + 1])
+    expect = (rew * 0.5 + 0.9 * (1 - done)
+              * np.asarray(tq - jnp.exp(log_alpha) * nlogp))
+    np.testing.assert_allclose(float(tgt_mean), expect.mean(), rtol=1e-5)
+    q1v = np.asarray(sac.q_value_t(q1, rows[:d], rows[d:d + a]))
+    q2v = np.asarray(sac.q_value_t(q2, rows[:d], rows[d:d + a]))
+    np.testing.assert_allclose(
+        float(loss),
+        np.mean((q1v - expect) ** 2 + (q2v - expect) ** 2), rtol=1e-5)
+
+
+def test_train_iters_deterministic():
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = sac.SacConfig(num_envs=16, buffer_capacity=1024, batch_size=64,
+                        warmup_steps=32, hidden=(32, 32))
+    fn = jax.jit(lambda s: sac.train_iters(env, cfg, s, 10))
+    s1, m1 = fn(sac.init_state(env, cfg, jax.random.PRNGKey(7)))
+    s2, m2 = fn(sac.init_state(env, cfg, jax.random.PRNGKey(7)))
+    for a_, b_ in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+    for a_, b_ in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+
+
+def test_warmup_freezes_params():
+    """No parameter moves until warmup_steps have been collected."""
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = sac.SacConfig(num_envs=16, buffer_capacity=1024, batch_size=64,
+                        warmup_steps=10_000, hidden=(32, 32))
+    state = sac.init_state(env, cfg, jax.random.PRNGKey(0))
+    out, _ = jax.jit(lambda s: sac.train_iters(env, cfg, s, 5))(state)
+    for a_, b_ in zip(jax.tree.leaves(state.actor), jax.tree.leaves(out.actor)):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+    for a_, b_ in zip(jax.tree.leaves(state.q1), jax.tree.leaves(out.q1)):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+    assert int(out.total_steps) == 80 and int(out.filled) == 80
+
+
+def test_sac_improves_hovering():
+    """Learning smoke on MujocoQuadForce-v1 (the reference's RL env,
+    shaped reward).  Metric: the episode-return proxy
+    ``mean_reward / done_frac`` — per-step reward barely moves while the
+    agent learns to SURVIVE, so episode length is the signal (same
+    rationale as test_ppo_improves_hovering).
+
+    Not quadrotor3d-v0: its reference-quirk reward pays +1.0 *on death*
+    (envs/quadrotor3d.py:66), so "mean reward improves" is ill-posed
+    there.  Short horizon (gamma=0.95) keeps the Bellman ramp within a
+    CPU-budget number of updates."""
+    env = reinmav_tpu.make("MujocoQuadForce-v1")
+    cfg = sac.SacConfig(num_envs=32, buffer_capacity=65536, batch_size=256,
+                        warmup_steps=2048, hidden=(64, 64), grad_steps=4,
+                        gamma=0.95, learning_rate=1e-3, alpha_lr=1e-3)
+    state = sac.init_state(env, cfg, jax.random.PRNGKey(0))
+    fn = jax.jit(lambda s: sac.train_iters(env, cfg, s, 250))
+
+    def ep_ret(m):
+        return float(m["mean_reward"]) / max(float(m["done_frac"]), 1e-4)
+
+    state, m = fn(state)  # includes the 2048-step uniform-random warmup
+    first = ep_ret(m)
+    tail = []
+    for _ in range(11):
+        state, m = fn(state)
+        tail.append(ep_ret(m))
+    last = float(np.mean(tail[-3:]))
+    assert np.isfinite(last)
+    assert last > 1.8 * first, (first, tail)
