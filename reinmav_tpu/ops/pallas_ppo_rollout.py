@@ -4,12 +4,21 @@ normalisation accounting, and per-step trajectory writes — one kernel.
 
 Replaces the ``lax.scan`` rollout of :func:`reinmav_tpu.rl.ppo.collect_rollout`
 (the workload of reference ``gym_reinmav/run.py:63-68``: vec-env rollouts
-feeding baselines ppo2) for the two flagship training envs:
+feeding baselines ppo2) for every env ID with a trainable reward:
 
 * ``MujocoQuadForce-v1`` (hovering — the reference's RL task,
   ``example/mujoco/train_hovering.py``), deterministic auto-reset;
 * ``quadrotor3d-v0`` (native flagship), U(−1,1)^10 auto-reset from the
-  on-core PRNG.
+  on-core PRNG;
+* ``quadrotor2d-v0``, ``quadrotor2d-slungload-v0`` and
+  ``quadrotor3d-slungload-v0`` (the remaining native reward-bearing
+  envs), U(−1,1)^D auto-reset.
+
+``MujocoQuadForce-v0`` / ``MujocoQuadQuat-v0`` are deliberately absent:
+their reference reward is identically zero (``mujoco_quad.py:60-63``),
+so there is no PPO training workload to fuse — the scan rollout covers
+them for API completeness and their plain throughput kernels live in
+``pallas_tpuquad``.
 
 Design (see docs/scaling.md):
 
@@ -61,8 +70,8 @@ def available() -> bool:
 
 
 _LOG2PI = 1.8378770664093453
-_ADIM = 4
-_NTRAJ = 24  # trajectory comps per step: obs(D) act(4) logp value reward done pad
+_HALF_PI = math.pi / 2
+_NTRAJ = 24  # trajectory comps per step: obs(D) act(A) logp value reward done pad
 
 # quadrotor3d-v0 constants (envs/quadrotor3d.py Params defaults).
 _Q3_DT = 0.01
@@ -181,9 +190,278 @@ def _quad3d_reset_rows(shape, dtype):
     return _uniform_pm1((80,) + shape[1:]).astype(dtype)
 
 
+# quadrotor2d-v0 constants (envs/quadrotor2d.py Params defaults).
+_Q2_DT = 0.01
+_Q2_G = -9.8
+_Q2_POS_LIM = 3.0
+_Q2_VEL_LIM = 2.0
+_Q2_THRUST = 10.0
+
+
+def _quad2d_step_tiles(comp, act):
+    """quadrotor2d-v0 step with per-lane actions [thrust_cmd, omega]
+    (envs/quadrotor2d.py:41-64 — Q5 10× thrust floored at zero, Q3
+    pos-first Euler with the old velocity, Q1/Q2 folded done
+    ``‖pos‖>3 ∨ ‖vel‖>2``, reward −‖pos‖ / +1 on done)."""
+    x, z, th, vx, vz = comp
+    a0, a1 = act
+    thrust = jnp.maximum(_Q2_THRUST * a0, 0.0)
+    hx = jnp.cos(th + _HALF_PI)
+    hz = jnp.sin(th + _HALF_PI)
+    ax = thrust * hx
+    az = thrust * hz + _Q2_G
+    nx = x + vx * _Q2_DT + 0.5 * ax * _Q2_DT * _Q2_DT
+    nz = z + vz * _Q2_DT + 0.5 * az * _Q2_DT * _Q2_DT
+    nvx = vx + ax * _Q2_DT
+    nvz = vz + az * _Q2_DT
+    nth = th + a1 * _Q2_DT
+    pn = jnp.sqrt(nx * nx + nz * nz)
+    vn = jnp.sqrt(nvx * nvx + nvz * nvz)
+    done = (pn > _Q2_POS_LIM) | (vn > _Q2_VEL_LIM)
+    reward = jnp.where(done, 1.0, -pn)
+    return [nx, nz, nth, nvx, nvz], reward, done
+
+
+def _quad2d_reset_rows(shape, dtype):
+    return _uniform_pm1((40,) + shape[1:]).astype(dtype)
+
+
+# quadrotor2d-slungload-v0 constants (envs/quadrotor2d_slungload.py).
+_S2_DT = 0.01
+_S2_G = -9.8
+_S2_L = 0.5
+_S2_M = 1.0
+_S2_ML = 0.1
+_S2_POS_LIM = 2.0
+_S2_VEL_LIM = 10.0
+
+
+def _slung2d_step_tiles(comp, act):
+    """quadrotor2d-slungload-v0 step, per-lane actions [thrust_N, omega]
+    (envs/quadrotor2d_slungload.py:51-106): taut/slack tether selected
+    per lane, velocity-FIRST Euler (Q3), the reference's scalar
+    broadcast-subtraction inside the taut load-acceleration projection,
+    kinematic re-projection of the load onto the tether circle."""
+    x, z, th, vx, vz, lx, lz, lvx, lvz = comp
+    thrust, w = act
+    hx = jnp.cos(th + _HALF_PI)
+    hz = jnp.sin(th + _HALF_PI)
+    tvx = thrust * hx                  # thrust_vec (mass = 1)
+    tvz = thrust * hz
+
+    tx = lx - x
+    tz = lz - z
+    tn = jnp.sqrt(tx * tx + tz * tz)
+    inv = 1.0 / jnp.where(tn > 0.0, tn, 1.0)
+    ux = tx * inv
+    uz = tz * inv
+    taut = tn >= _S2_L
+
+    # --- taut branch ------------------------------------------------------
+    # la = ⟨u, thrust_vec − m·L·⟨lv,lv⟩⟩·u / (m+mₗ) + g  (the scalar is
+    # broadcast-subtracted from the vector, exactly as the reference).
+    s = _S2_M * _S2_L * (lvx * lvx + lvz * lvz)
+    proj = ux * (tvx - s) + uz * (tvz - s)
+    lax_t = (1.0 / (_S2_M + _S2_ML)) * (proj * ux)
+    laz_t = (1.0 / (_S2_M + _S2_ML)) * (proj * uz) + _S2_G
+    lvx_t = lvx + lax_t * _S2_DT       # velocity FIRST (Q3)
+    lvz_t = lvz + laz_t * _S2_DT
+    lpx_t = lx + lvx_t * _S2_DT + 0.5 * lax_t * _S2_DT * _S2_DT
+    lpz_t = lz + lvz_t * _S2_DT + 0.5 * laz_t * _S2_DT * _S2_DT
+
+    tmag = _S2_ML * jnp.sqrt(lax_t * lax_t + (laz_t - _S2_G) ** 2)
+    accx_t = tvx + tmag * ux           # thrust/m·ĥ + g + T/m, m = 1
+    accz_t = tvz + _S2_G + tmag * uz
+    vx_t = vx + accx_t * _S2_DT        # velocity FIRST
+    vz_t = vz + accz_t * _S2_DT
+    px_t = x + vx_t * _S2_DT + 0.5 * accx_t * _S2_DT * _S2_DT
+    pz_t = z + vz_t * _S2_DT + 0.5 * accz_t * _S2_DT * _S2_DT
+
+    dx = lpx_t - px_t
+    dz = lpz_t - pz_t
+    dn = jnp.sqrt(dx * dx + dz * dz)
+    dinv = 1.0 / jnp.where(dn > 0.0, dn, 1.0)
+    ddx = dx * dinv
+    ddz = dz * dinv
+    lpx_t = px_t + ddx * _S2_L
+    lpz_t = pz_t + ddz * _S2_L
+    rad = (lvx_t - vx_t) * ddx + (lvz_t - vz_t) * ddz
+    lvx_t = lvx_t - rad * ddx
+    lvz_t = lvz_t - rad * ddz
+
+    # --- slack branch -----------------------------------------------------
+    lvx_s = lvx
+    lvz_s = lvz + _S2_G * _S2_DT
+    lpx_s = lx + lvx_s * _S2_DT
+    lpz_s = lz + lvz_s * _S2_DT + 0.5 * _S2_G * _S2_DT * _S2_DT
+    accx_s = tvx
+    accz_s = tvz + _S2_G
+    vx_s = vx + accx_s * _S2_DT
+    vz_s = vz + accz_s * _S2_DT
+    px_s = x + vx_s * _S2_DT + 0.5 * accx_s * _S2_DT * _S2_DT
+    pz_s = z + vz_s * _S2_DT + 0.5 * accz_s * _S2_DT * _S2_DT
+
+    npx = jnp.where(taut, px_t, px_s)
+    npz = jnp.where(taut, pz_t, pz_s)
+    nvx = jnp.where(taut, vx_t, vx_s)
+    nvz = jnp.where(taut, vz_t, vz_s)
+    nlpx = jnp.where(taut, lpx_t, lpx_s)
+    nlpz = jnp.where(taut, lpz_t, lpz_s)
+    nlvx = jnp.where(taut, lvx_t, lvx_s)
+    nlvz = jnp.where(taut, lvz_t, lvz_s)
+    nth = th + w * _S2_DT
+
+    lpn = jnp.sqrt(nlpx * nlpx + nlpz * nlpz)
+    lvn = jnp.sqrt(nlvx * nlvx + nlvz * nlvz)
+    done = (lpn > _S2_POS_LIM) | (lvn > _S2_VEL_LIM)
+    reward = jnp.where(done, 1.0, -jnp.sqrt(npx * npx + npz * npz))
+    return [npx, npz, nth, nvx, nvz, nlpx, nlpz, nlvx, nlvz], reward, done
+
+
+def _slung2d_reset_rows(shape, dtype):
+    return _uniform_pm1((72,) + shape[1:]).astype(dtype)
+
+
+# quadrotor3d-slungload-v0 constants (envs/quadrotor3d_slungload.py).
+_S3_DT = 0.01
+_S3_G = -9.8
+_S3_L = 1.5
+_S3_M = 1.0
+_S3_ML = 0.1
+_S3_POS_LIM = 3.0
+_S3_VEL_LIM = 10.0
+
+
+def _slung3d_step_tiles(comp, act):
+    """quadrotor3d-slungload-v0 step, per-lane actions
+    [thrust, wx, wy, wz] (envs/quadrotor3d_slungload.py:47-104):
+    POSITION-first Euler with the old velocity (Q3 — opposite of the 2D
+    sibling), Q4 quaternion semantics shared with quadrotor3d (normalise
+    for rotation/derivative, store raw), per-lane taut/slack branch."""
+    (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
+     lpx, lpy, lpz, lvx, lvy, lvz) = comp
+    thrust, wx, wy, wz = act
+
+    qn2 = qw * qw + qx * qx + qy * qy + qz * qz
+    inv_qn = jax.lax.rsqrt(qn2)
+    inv = inv_qn * inv_qn
+    bzx = 2.0 * (qx * qz + qw * qy) * inv
+    bzy = 2.0 * (qy * qz - qw * qx) * inv
+    bzz = 1.0 - 2.0 * (qx * qx + qy * qy) * inv
+    tvx = thrust * bzx
+    tvy = thrust * bzy
+    tvz = thrust * bzz
+
+    tx = lpx - px
+    ty = lpy - py
+    tz = lpz - pz
+    tn = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+    tinv = 1.0 / jnp.where(tn > 0.0, tn, 1.0)
+    ux = tx * tinv
+    uy = ty * tinv
+    uz = tz * tinv
+    taut = tn >= _S3_L
+
+    # --- taut branch (pos-first Euler) ------------------------------------
+    s = _S3_M * _S3_L * (lvx * lvx + lvy * lvy + lvz * lvz)
+    proj = ux * (tvx - s) + uy * (tvy - s) + uz * (tvz - s)
+    lax_t = (1.0 / (_S3_M + _S3_ML)) * (proj * ux)
+    lay_t = (1.0 / (_S3_M + _S3_ML)) * (proj * uy)
+    laz_t = (1.0 / (_S3_M + _S3_ML)) * (proj * uz) + _S3_G
+    lpx_t = lpx + lvx * _S3_DT + 0.5 * lax_t * _S3_DT * _S3_DT  # old vel
+    lpy_t = lpy + lvy * _S3_DT + 0.5 * lay_t * _S3_DT * _S3_DT
+    lpz_t = lpz + lvz * _S3_DT + 0.5 * laz_t * _S3_DT * _S3_DT
+    lvx_t = lvx + lax_t * _S3_DT
+    lvy_t = lvy + lay_t * _S3_DT
+    lvz_t = lvz + laz_t * _S3_DT
+
+    tmag = _S3_ML * jnp.sqrt(
+        lax_t * lax_t + lay_t * lay_t + (laz_t - _S3_G) ** 2
+    )
+    accx_t = tvx + tmag * ux           # m = 1
+    accy_t = tvy + tmag * uy
+    accz_t = tvz + _S3_G + tmag * uz
+    px_t = px + vx * _S3_DT + 0.5 * accx_t * _S3_DT * _S3_DT     # old vel
+    py_t = py + vy * _S3_DT + 0.5 * accy_t * _S3_DT * _S3_DT
+    pz_t = pz + vz * _S3_DT + 0.5 * accz_t * _S3_DT * _S3_DT
+    vx_t = vx + accx_t * _S3_DT
+    vy_t = vy + accy_t * _S3_DT
+    vz_t = vz + accz_t * _S3_DT
+
+    dx = lpx_t - px_t
+    dy = lpy_t - py_t
+    dz = lpz_t - pz_t
+    dn = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    dinv = 1.0 / jnp.where(dn > 0.0, dn, 1.0)
+    ddx = dx * dinv
+    ddy = dy * dinv
+    ddz = dz * dinv
+    lpx_t = px_t + ddx * _S3_L
+    lpy_t = py_t + ddy * _S3_L
+    lpz_t = pz_t + ddz * _S3_L
+    rad = (lvx_t - vx_t) * ddx + (lvy_t - vy_t) * ddy + (lvz_t - vz_t) * ddz
+    lvx_t = lvx_t - rad * ddx
+    lvy_t = lvy_t - rad * ddy
+    lvz_t = lvz_t - rad * ddz
+
+    # --- slack branch -----------------------------------------------------
+    lpx_s = lpx + lvx * _S3_DT
+    lpy_s = lpy + lvy * _S3_DT
+    lpz_s = lpz + lvz * _S3_DT + 0.5 * _S3_G * _S3_DT * _S3_DT
+    lvx_s = lvx
+    lvy_s = lvy
+    lvz_s = lvz + _S3_G * _S3_DT
+    accx_s = tvx
+    accy_s = tvy
+    accz_s = tvz + _S3_G
+    px_s = px + vx * _S3_DT + 0.5 * accx_s * _S3_DT * _S3_DT
+    py_s = py + vy * _S3_DT + 0.5 * accy_s * _S3_DT * _S3_DT
+    pz_s = pz + vz * _S3_DT + 0.5 * accz_s * _S3_DT * _S3_DT
+    vx_s = vx + accx_s * _S3_DT
+    vy_s = vy + accy_s * _S3_DT
+    vz_s = vz + accz_s * _S3_DT
+
+    npx = jnp.where(taut, px_t, px_s)
+    npy = jnp.where(taut, py_t, py_s)
+    npz = jnp.where(taut, pz_t, pz_s)
+    nvx = jnp.where(taut, vx_t, vx_s)
+    nvy = jnp.where(taut, vy_t, vy_s)
+    nvz = jnp.where(taut, vz_t, vz_s)
+    nlpx = jnp.where(taut, lpx_t, lpx_s)
+    nlpy = jnp.where(taut, lpy_t, lpy_s)
+    nlpz = jnp.where(taut, lpz_t, lpz_s)
+    nlvx = jnp.where(taut, lvx_t, lvx_s)
+    nlvy = jnp.where(taut, lvy_t, lvy_s)
+    nlvz = jnp.where(taut, lvz_t, lvz_s)
+
+    # Shared quaternion update (Q4: derivative of q̂ added to raw q).
+    hw, hx, hy, hz = qw * inv_qn, qx * inv_qn, qy * inv_qn, qz * inv_qn
+    half_dt = 0.5 * _S3_DT
+    nqw = qw + half_dt * (-hx * wx - hy * wy - hz * wz)
+    nqx = qx + half_dt * (hw * wx + hy * wz - hz * wy)
+    nqy = qy + half_dt * (hw * wy - hx * wz + hz * wx)
+    nqz = qz + half_dt * (hw * wz + hx * wy - hy * wx)
+
+    lpn = jnp.sqrt(nlpx * nlpx + nlpy * nlpy + nlpz * nlpz)
+    vn = jnp.sqrt(nvx * nvx + nvy * nvy + nvz * nvz)
+    done = (lpn > _S3_POS_LIM) | (vn > _S3_VEL_LIM)
+    reward = jnp.where(done, 1.0, -lpn)
+    new = [npx, npy, npz, nqw, nqx, nqy, nqz, nvx, nvy, nvz,
+           nlpx, nlpy, nlpz, nlvx, nlvy, nlvz]
+    return new, reward, done
+
+
+def _slung3d_reset_rows(shape, dtype):
+    return _uniform_pm1((128,) + shape[1:]).astype(dtype)
+
+
+#: env id -> (state_dim, action_dim, step_tiles, reset_rows).
 _ENVS = {
-    "MujocoQuadForce-v1": (13, _hover_step_tiles, _hover_reset_rows),
-    "quadrotor3d-v0": (10, _quad3d_step_tiles, _quad3d_reset_rows),
+    "MujocoQuadForce-v1": (13, 4, _hover_step_tiles, _hover_reset_rows),
+    "quadrotor3d-v0": (10, 4, _quad3d_step_tiles, _quad3d_reset_rows),
+    "quadrotor2d-v0": (5, 2, _quad2d_step_tiles, _quad2d_reset_rows),
+    "quadrotor2d-slungload-v0": (9, 2, _slung2d_step_tiles, _slung2d_reset_rows),
+    "quadrotor3d-slungload-v0": (16, 4, _slung3d_step_tiles, _slung3d_reset_rows),
 }
 
 
@@ -196,10 +474,10 @@ def _kernel(env_kind, t_chunk, cd, normalize_obs, normalize_rewards,
     """One (batch-tile, time-chunk) grid step: ``t_chunk`` fused
     policy+env steps.
 
-    consts layout (f32): [obs_mean(D), obs_invstd(D), exp_log_std(4),
+    consts layout (f32): [obs_mean(D), obs_invstd(D), exp_log_std(A),
     log_std_sum, inv_ret_std, gamma].
     """
-    d, step_tiles, reset_rows = _ENVS[env_kind]
+    d, adim, step_tiles, reset_rows = _ENVS[env_kind]
     b = pl.program_id(0)
     tc = pl.program_id(1)
     n_tc = pl.num_programs(1)
@@ -214,9 +492,9 @@ def _kernel(env_kind, t_chunk, cd, normalize_obs, normalize_rewards,
 
     mean_off, invstd_off = 0, d
     els_off = 2 * d
-    ls_sum = consts_ref[2 * d + 4]
-    inv_ret_std = consts_ref[2 * d + 5]
-    gamma = consts_ref[2 * d + 6]
+    ls_sum = consts_ref[2 * d + adim]
+    inv_ret_std = consts_ref[2 * d + adim + 1]
+    gamma = consts_ref[2 * d + adim + 2]
 
     def rows(s, i):
         return s[8 * i : 8 * (i + 1)]
@@ -252,24 +530,24 @@ def _kernel(env_kind, t_chunk, cd, normalize_obs, normalize_rewards,
         h1 = jnp.tanh(_mm(w1, x, ((0,), (0,)), cd) + b1.T)
         h2 = jnp.tanh(_mm(w2, h1, ((0,), (0,)), cd) + b2.T)
         out = _mm(wo, h2, ((0,), (0,)), cd) + bo.T          # (A+1, 8t)
-        mean = out[:_ADIM]
-        value_flat = out[_ADIM:_ADIM + 1]
+        mean = out[:adim]
+        value_flat = out[adim:adim + 1]
 
         # Sample; log-prob from the ROUNDED action (see module docs).
-        noise = _normal((_ADIM, 8 * tile))
+        noise = _normal((adim, 8 * tile))
         act_list = []
         z2_sum = jnp.zeros((1, 8 * tile), jnp.float32)
-        for i in range(_ADIM):
+        for i in range(adim):
             std_i = consts_ref[els_off + i]
             a_i = mean[i : i + 1] + std_i * noise[i : i + 1]
             zi = (a_i - mean[i : i + 1]) * (1.0 / std_i)
             z2_sum = z2_sum + zi * zi
             act_list.append(a_i)
-        logp_flat = -0.5 * z2_sum - ls_sum - 0.5 * _ADIM * _LOG2PI
+        logp_flat = -0.5 * z2_sum - ls_sum - 0.5 * adim * _LOG2PI
 
         # Back to sublane-dense for the physics / trajectory store.
-        act8 = jnp.concatenate(act_list, axis=0).reshape(8 * _ADIM, tile)
-        act_comps = [rows(act8, i) for i in range(_ADIM)]
+        act8 = jnp.concatenate(act_list, axis=0).reshape(8 * adim, tile)
+        act_comps = [rows(act8, i) for i in range(adim)]
         logp8 = logp_flat.reshape(8, tile)
         value8 = value_flat.reshape(8, tile)
 
@@ -295,12 +573,13 @@ def _kernel(env_kind, t_chunk, cd, normalize_obs, normalize_rewards,
         draw = reset_rows(stacked.shape, stacked.dtype)
         stacked = jnp.where(jnp.tile(done, (d, 1)), draw, stacked)
 
-        # Trajectory block rows for this step: obs(D) act(4) logp value
+        # Trajectory block rows for this step: obs(D) act(A) logp value
         # reward done pad -> _NTRAJ comps x 8 rows.
-        pad = jnp.zeros((8 * (_NTRAJ - d - _ADIM - 4), tile), jnp.float32)
-        step_rows = jnp.concatenate(
-            norm_obs + [act8, logp8, value8, reward, done_f, pad], axis=0
-        )
+        parts = norm_obs + [act8, logp8, value8, reward, done_f]
+        n_pad = _NTRAJ - d - adim - 4
+        if n_pad:  # slung3d packs exactly 24 comps — no pad rows
+            parts.append(jnp.zeros((8 * n_pad, tile), jnp.float32))
+        step_rows = jnp.concatenate(parts, axis=0)
         traj_ref[k * 8 * _NTRAJ : (k + 1) * 8 * _NTRAJ, :] = step_rows
 
         state = stacked
@@ -341,19 +620,19 @@ def ppo_rollout_pallas(env_kind: str, states_t, env_returns, seed,
       env_returns: (B,) running discounted returns.
       seed: int32 array (1,).
       w1..bo: fused MLP stacks (networks.fused_weights), 2H == 128.
-      consts: f32 vector [obs_mean(D), obs_invstd(D), exp(log_std)(4),
+      consts: f32 vector [obs_mean(D), obs_invstd(D), exp(log_std)(A),
         Σlog_std, 1/sqrt(ret_var+eps), gamma].
       horizon: T (divisible by t_chunk).
 
     Returns (traj_rows, final_rows, env_returns, stats):
       traj_rows: (T·8·24, B/8) — reshape to (T, 24, 8, B/8); comp c rows:
-        0:D norm obs, D:D+4 action, then logp, value, reward, done.
+        0:D norm obs, D:D+A action, then logp, value, reward, done.
       final_rows: (8·D, B/8); env_returns: (8, B/8);
       stats: ((2D+3)·8, B/8) — per-comp partial sums (reduce over
         sublanes+lanes on the host): obs_sum(D), obs_sq(D), ret_sum,
         ret_sq, raw_reward_sum.
     """
-    d, _, _ = _ENVS[env_kind]
+    d, _, _, _ = _ENVS[env_kind]
     dd, batch = states_t.shape
     assert dd == d and batch % (8 * tile) == 0, (dd, d, batch, tile)
     assert horizon % t_chunk == 0, (horizon, t_chunk)

@@ -405,7 +405,7 @@ def _fused_rollout_enabled(cfg: PpoConfig, env: EnvDef, batch: int) -> bool:
     in default physics, so wrapped/re-parameterised envs are refused."""
     if cfg.fused_rollout == "off":
         return False
-    if tuple(cfg.hidden) != (64, 64) or env.action_dim != 4:
+    if tuple(cfg.hidden) != (64, 64):
         return False
     from ..ops import pallas_ppo_rollout
 
@@ -419,6 +419,21 @@ def _fused_rollout_enabled(cfg: PpoConfig, env: EnvDef, batch: int) -> bool:
               and env.params == mod.Params(init_z=1.0))
     elif env.name == "quadrotor3d-v0":
         from ..envs import quadrotor3d as mod
+
+        ok = (env.step_fn is mod.step and env.reset_fn is mod.reset
+              and env.params == mod.Params())
+    elif env.name == "quadrotor2d-v0":
+        from ..envs import quadrotor2d as mod
+
+        ok = (env.step_fn is mod.step and env.reset_fn is mod.reset
+              and env.params == mod.Params())
+    elif env.name == "quadrotor2d-slungload-v0":
+        from ..envs import quadrotor2d_slungload as mod
+
+        ok = (env.step_fn is mod.step and env.reset_fn is mod.reset
+              and env.params == mod.Params())
+    elif env.name == "quadrotor3d-slungload-v0":
+        from ..envs import quadrotor3d_slungload as mod
 
         ok = (env.step_fn is mod.step and env.reset_fn is mod.reset
               and env.params == mod.Params())
@@ -478,10 +493,12 @@ def _collect_rollout_pallas(env: EnvDef, cfg: PpoConfig, params, obs_norm,
     )
     T = cfg.rollout_len
     b8 = batch // 8
+    a = env.action_dim
     tr = traj_rows.reshape(T, pr._NTRAJ, 8, b8)
     traj = Transition(
-        obs=tr[:, :d], action=tr[:, d:d + 4], log_prob=tr[:, d + 4],
-        value=tr[:, d + 5], reward=tr[:, d + 6], done=tr[:, d + 7] > 0.5,
+        obs=tr[:, :d], action=tr[:, d:d + a], log_prob=tr[:, d + a],
+        value=tr[:, d + a + 1], reward=tr[:, d + a + 2],
+        done=tr[:, d + a + 3] > 0.5,
     )
     final_states = fin.reshape(d, batch).T
     env_returns = rets8.reshape(batch)

@@ -33,7 +33,21 @@ pytestmark = pytest.mark.skipif(
     not pallas_ppo_rollout.available(), reason="pallas unavailable"
 )
 
-ENV_IDS = ["MujocoQuadForce-v1", "quadrotor3d-v0"]
+ENV_IDS = [
+    "MujocoQuadForce-v1",
+    "quadrotor3d-v0",
+    "quadrotor2d-v0",
+    "quadrotor2d-slungload-v0",
+    "quadrotor3d-slungload-v0",
+]
+# The slung-load envs kinematically project the load ONTO the tether
+# sphere every taut step, so the next step's taut/slack predicate is
+# fp-degenerate: free-running kernel-vs-scan trajectories WILL flip
+# branches on ulp-level differences (same knife-edge as
+# tests/test_parity.py's resynchronised slung parity).  Their σ→0 leg
+# resynchronises per step instead.
+FREE_RUN_IDS = ["MujocoQuadForce-v1", "quadrotor3d-v0", "quadrotor2d-v0"]
+RESYNC_IDS = ["quadrotor2d-slungload-v0", "quadrotor3d-slungload-v0"]
 
 
 def _setup(env_id, batch, sigma_zero):
@@ -46,6 +60,13 @@ def _setup(env_id, batch, sigma_zero):
         params["log_std"] = jnp.full_like(params["log_std"], -40.0)
     states = env.vreset(jax.random.split(jax.random.PRNGKey(1), batch))
     states = states.astype(jnp.float32)
+    if sigma_zero and env_id == "quadrotor2d-v0":
+        # Damp the U(-1,1) initial velocities: gravity alone drives
+        # ‖vel‖ past the 2 m/s done limit within 16 steps for fast
+        # initial draws, and the two paths' RESET streams differ by
+        # design (jax.random vs on-core PRNG) — the σ→0 bitwise leg
+        # must stay done-free to compare trajectories.
+        states = states * 0.3
     # Warm the normalisers so the normalisation path is non-trivial.
     obs_norm = ppo.ObsNorm(
         jnp.linspace(-0.1, 0.1, env.obs_dim).astype(jnp.float32),
@@ -66,7 +87,7 @@ def _run_pallas(env, cfg, params, obs_norm, ret_norm, states, rets, key):
             env, cfg, params, obs_norm, ret_norm, states, rets, key)
 
 
-@pytest.mark.parametrize("env_id", ENV_IDS)
+@pytest.mark.parametrize("env_id", FREE_RUN_IDS)
 def test_sigma_zero_matches_scan_bitwise(env_id):
     """With σ→0 both paths take action == mean deterministically; every
     output of the rollout must agree at f32 tolerance."""
@@ -104,6 +125,67 @@ def test_sigma_zero_matches_scan_bitwise(env_id):
     np.testing.assert_allclose(float(rr_p), float(rr_s), rtol=1e-4)
 
 
+def _tether_norm(env_id, states):
+    if "3d" in env_id:
+        return np.linalg.norm(
+            np.asarray(states[:, 10:13] - states[:, 0:3]), axis=1), 1.5
+    return np.linalg.norm(
+        np.asarray(states[:, 5:7] - states[:, 0:2]), axis=1), 0.5
+
+
+@pytest.mark.parametrize("env_id", RESYNC_IDS)
+def test_sigma_zero_matches_scan_resynchronised(env_id):
+    """Slung-load σ→0 leg: single-step kernel-vs-scan comparisons with
+    the scan state fed to BOTH paths each step, skipping lanes within
+    eps of the tether sphere (the test_pallas_slungload precedent —
+    after a taut projection those lanes flip branches on ulp-level FMA
+    differences between the two programs)."""
+    env, cfg, params, states, obs_norm, ret_norm, rets = _setup(
+        env_id, batch=64, sigma_zero=True)
+    cfg = cfg._replace(rollout_len=1)
+    key = jax.random.PRNGKey(7)
+    B = 64
+
+    scan_fn = jax.jit(lambda *a: ppo.collect_rollout(env, cfg, *a))
+    taut_seen = slack_seen = False
+    for t in range(8):
+        k = jax.random.fold_in(key, t)
+        f_s, r_s, _, traj_s, om_s, rm_s, rr_s = scan_fn(
+            params, obs_norm, ret_norm, states, rets, k)
+        f_p, r_p, _, traj_p, om_p, rm_p, rr_p = _run_pallas(
+            env, cfg, params, obs_norm, ret_norm, states, rets, k)
+
+        tn, L = _tether_norm(env_id, states)
+        safe = np.abs(tn - L) > 1e-4
+        taut_seen |= bool((tn >= L).any())
+        slack_seen |= bool((tn < L).any())
+
+        for a, b, name in (
+            (traj_p.obs, traj_s.obs, "obs"),
+            (traj_p.action, traj_s.action, "action"),
+            (traj_p.value, traj_s.value, "value"),
+            (traj_p.reward, traj_s.reward, "reward"),
+            (f_p.T, f_s.T, "final_states"),
+            (r_p[None], r_s[None], "env_returns"),
+        ):
+            a = np.asarray(a, np.float32).reshape(-1, B)[:, safe]
+            b = np.asarray(b, np.float32).reshape(-1, B)[:, safe]
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"{name} step {t}")
+        np.testing.assert_array_equal(
+            np.asarray(traj_p.done).reshape(-1, B)[:, safe],
+            np.asarray(traj_s.done).reshape(-1, B)[:, safe],
+            err_msg=f"done step {t}")
+        if safe.all():  # moments are whole-batch sums
+            np.testing.assert_allclose(
+                np.asarray(om_p.total), np.asarray(om_s.total),
+                rtol=1e-4, atol=1e-3, err_msg=f"obs moments step {t}")
+            np.testing.assert_allclose(float(rr_p), float(rr_s), rtol=1e-4,
+                                       err_msg=f"raw reward step {t}")
+        states, rets = f_s, r_s  # resynchronise on the scan state
+    assert taut_seen and slack_seen  # both branches genuinely exercised
+
+
 def _fake_normal(shape):
     """Deterministic N(0,1)-ish stand-in for interpret mode, where
     ``pltpu.prng_random_bits`` silently returns zeros on the CPU backend
@@ -128,8 +210,9 @@ def test_stochastic_invariants(env_id, monkeypatch):
         jax.random.PRNGKey(3))
     T = cfg.rollout_len
     d = env.obs_dim
+    A = env.action_dim
     obs = np.asarray(traj.obs).reshape(T, d, -1)          # (T, D, B)
-    act = np.asarray(traj.action).reshape(T, 4, -1)
+    act = np.asarray(traj.action).reshape(T, A, -1)
     logp = np.asarray(traj.log_prob).reshape(T, -1)
     value = np.asarray(traj.value).reshape(T, -1)
 
@@ -138,11 +221,11 @@ def test_stochastic_invariants(env_id, monkeypatch):
     mean_t, log_std, value_t = networks.apply_t(
         params, jnp.asarray(obs.reshape(T * 1, d, -1).transpose(1, 0, 2)
                             .reshape(d, -1)))
-    mean_np = np.asarray(mean_t).reshape(4, T, -1).transpose(1, 0, 2)
+    mean_np = np.asarray(mean_t).reshape(A, T, -1).transpose(1, 0, 2)
     ref_logp = np.asarray(networks.gaussian_log_prob_t(
-        jnp.asarray(mean_np.transpose(1, 0, 2).reshape(4, -1)),
+        jnp.asarray(mean_np.transpose(1, 0, 2).reshape(A, -1)),
         params["log_std"],
-        jnp.asarray(act.transpose(1, 0, 2).reshape(4, -1)),
+        jnp.asarray(act.transpose(1, 0, 2).reshape(A, -1)),
     )).reshape(T, -1)
     np.testing.assert_allclose(logp, ref_logp, rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(
@@ -151,7 +234,7 @@ def test_stochastic_invariants(env_id, monkeypatch):
     # 2. the injected noise actually reached the actions (non-trivial
     # exploration — guards against the sampling path silently zeroing).
     sigma = np.exp(np.asarray(params["log_std"]))
-    z = (act - mean_np) / sigma.reshape(1, 4, 1)
+    z = (act - mean_np) / sigma.reshape(1, A, 1)
     assert z.std() > 0.5, z.std()
     assert np.isfinite(z).all()
 
@@ -185,12 +268,14 @@ def test_prng_moments_on_tpu():
     assert np.isfinite(z).all()
 
 
-def test_train_step_fused_rollout_learns_consistently():
+@pytest.mark.parametrize("env_id", ["MujocoQuadForce-v1", "quadrotor2d-v0"])
+def test_train_step_fused_rollout_learns_consistently(env_id):
     """A full train_step with fused_rollout='on': finite metrics, same
-    scale as the scan path, and the TrainState advances."""
+    scale as the scan path, and the TrainState advances (quadrotor2d
+    exercises the action_dim=2 wiring end-to-end)."""
     from jax.experimental.pallas import tpu as pltpu
 
-    env = reinmav_tpu.make("MujocoQuadForce-v1")
+    env = reinmav_tpu.make(env_id)
     cfg = ppo.PpoConfig(num_envs=64, rollout_len=16, num_epochs=2,
                         num_minibatches=2, hidden=(64, 64),
                         fused_rollout="on")
