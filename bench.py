@@ -104,6 +104,32 @@ def bench_ppo(env, key) -> tuple[float, str]:
     return K * n / min(times), "quad3d-b32768-T32-fusedloss-K8"
 
 
+def bench_sac(key) -> tuple[float, str]:
+    """SAC (off-policy) iteration throughput: batched env collection +
+    replay-sampled twin-critic/actor updates, the whole loop one
+    compiled scan with the TPU-resident replay ring (rl/sac.py)."""
+    import numpy as np
+
+    from reinmav_tpu.rl import sac
+
+    env = reinmav_tpu.make("MujocoQuadForce-v1")
+    cfg = sac.SacConfig(num_envs=65536, batch_size=8192,
+                        buffer_capacity=1 << 21, warmup_steps=0)
+    K = 32
+    state = sac.init_state(env, cfg, jax.random.PRNGKey(1))
+    fn = sac.make_train_iters(env, cfg, K)
+    state, m = fn(state)
+    float(np.asarray(state.total_steps))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, m = fn(state)
+        float(np.asarray(state.total_steps))
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(float(np.asarray(m["q_loss"])))
+    return K * cfg.num_envs / min(times), "hover-b65536-batch8192-K32"
+
+
 def main():
     env = reinmav_tpu.make("quadrotor3d-v0")
     key = jax.random.PRNGKey(0)
@@ -132,6 +158,13 @@ def main():
         import sys
 
         print(f"# ppo bench unavailable: {e}", file=sys.stderr, flush=True)
+    sac_sps, sac_cfg = 0.0, None
+    try:
+        sac_sps, sac_cfg = bench_sac(key)
+    except Exception as e:
+        import sys
+
+        print(f"# sac bench unavailable: {e}", file=sys.stderr, flush=True)
     print(
         json.dumps(
             {
@@ -145,6 +178,9 @@ def main():
                 "ppo_full_update_env_steps_per_sec": round(ppo_sps),
                 "ppo_config": ppo_cfg,
                 "ppo_vs_round1": round(ppo_sps / 3.9e6, 1),
+                # Third metric (round-3): off-policy SAC training rate.
+                "sac_env_steps_per_sec": round(sac_sps),
+                "sac_config": sac_cfg,
                 "device": str(jax.devices()[0]),
             }
         )

@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup_steps", type=int, default=10_000)
     p.add_argument("--tau", type=float, default=0.005)
     p.add_argument("--reward_scale", type=float, default=1.0)
+    p.add_argument("--target_entropy", type=float, default=None,
+                   help="SAC entropy target (default -action_dim); more "
+                        "negative = less exploration noise")
     p.add_argument("--kl_target", type=float, default=0.01,
                    help="per-update KL target for --alg=ppo_kl")
     p.add_argument("--num_timesteps", type=float, default=1e6)
@@ -115,6 +118,7 @@ def train_sac(args):
         grad_steps=args.grad_steps,
         warmup_steps=args.warmup_steps,
         reward_scale=args.reward_scale,
+        target_entropy=args.target_entropy,
         hidden=tuple([args.num_hidden] * args.num_layers),
     )
     k = max(1, args.updates_per_jit)

@@ -283,11 +283,20 @@ def init_state(env: EnvDef, cfg: SacConfig, key: jax.Array) -> SacState:
 
 
 def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
-                num_iters: int):
+                num_iters: int, axis_name: str | None = None):
     """Run ``num_iters`` SAC iterations (each: one batched env step +
     ``cfg.grad_steps`` updates) as ONE compiled scan.  Returns
     ``(state, metrics)`` with metrics averaged over the scan in-jit
-    (single host fetch — tunnel rule, CLAUDE.md)."""
+    (single host fetch — tunnel rule, CLAUDE.md).
+
+    ``axis_name``: set when running INSIDE ``shard_map``
+    (:func:`make_train_iters` with a mesh): ``env_states`` and the
+    replay ring are the device-local shards, the action/reset/sample
+    streams are device-decorrelated, and gradients/metrics are
+    ``pmean``-ed so the replicated params see the MPI data-parallel
+    recipe (per-device replay batches, globally-averaged gradients —
+    effective batch = ``batch_size × n_devices``, mirroring the PPO
+    shard_map semantics, ppo.make_train_step_shardmap)."""
     opt_a, opt_q, opt_al = make_optimizers(cfg)
     target_entropy = (
         -float(env.action_dim)
@@ -296,7 +305,15 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
     d, a = env.obs_dim, env.action_dim
 
     def iteration(s: SacState, _):
-        key, k_act, k_rand, k_reset, k_loop = jax.random.split(s.key, 5)
+        if axis_name is None:
+            key, k_act, k_rand, k_reset, k_loop = jax.random.split(s.key, 5)
+        else:
+            # Device-local streams from the replicated master key; the
+            # carried key advances replicated (the PPO shard_map rule,
+            # ppo.train_step:598-602).
+            base = jax.random.fold_in(s.key, jax.lax.axis_index(axis_name))
+            _, k_act, k_rand, k_reset, k_loop = jax.random.split(base, 5)
+            key = jax.random.fold_in(s.key, jnp.uint32(0x9E3779B9))
 
         # ---- collect: one auto-reset env step across the batch --------
         states_t = s.env_states.T                      # (D, B)
@@ -330,6 +347,8 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
                 critic_loss, has_aux=True
             )({"q1": q1, "q2": q2}, cfg, env, rows, (q1t, q2t), k_tgt,
               actor, log_alpha)
+            if axis_name is not None:
+                qg = jax.lax.pmean(qg, axis_name)
             qg = jax.tree.map(lambda g: g * gate, qg)
             qu, oq = opt_q.update(qg, oq, {"q1": q1, "q2": q2})
             qp = optax.apply_updates({"q1": q1, "q2": q2}, qu)
@@ -339,6 +358,8 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
                 actor_alpha_loss, has_aux=True
             )({"actor": actor, "log_alpha": log_alpha}, cfg, env, rows,
               q1, q2, k_pi, target_entropy)
+            if axis_name is not None:
+                ag = jax.lax.pmean(ag, axis_name)
             agrads = jax.tree.map(lambda g: g * gate, ag["actor"])
             au, oa = opt_a.update(agrads, oa, actor)
             actor = optax.apply_updates(actor, au)
@@ -364,6 +385,8 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
         met["mean_reward"] = jnp.mean(out.reward)
         met["done_frac"] = jnp.mean(out.done.astype(jnp.float32))
         met["buffer_filled"] = filled.astype(jnp.float32)
+        if axis_name is not None:  # replicated metrics out of shard_map
+            met = jax.lax.pmean(met, axis_name)
 
         new = SacState(
             actor=actor, q1=q1, q2=q2, q1_target=q1t, q2_target=q2t,
@@ -377,9 +400,65 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
     return state, jax.tree.map(jnp.mean, metrics)
 
 
-def make_train_iters(env: EnvDef, cfg: SacConfig, num_iters: int):
-    return jax.jit(lambda s: train_iters(env, cfg, s, num_iters),
-                   donate_argnums=(0,))
+def _shard_specs(cfg: SacConfig):
+    """shard_map PartitionSpecs for a SacState: params/opt/scalars
+    replicated, env batch and the replay ring's COLUMN axis sharded
+    (each device owns an independent ring fed by its env shard; ptr and
+    filled evolve identically everywhere because inserts are symmetric,
+    so they stay replicated)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import BATCH_AXIS
+
+    rep = P()
+    return SacState(
+        actor=rep, q1=rep, q2=rep, q1_target=rep, q2_target=rep,
+        log_alpha=rep, opt_actor=rep, opt_q=rep, opt_alpha=rep,
+        buffer=P(None, BATCH_AXIS), ptr=rep, filled=rep,
+        env_states=P(BATCH_AXIS), key=rep, total_steps=rep,
+    )
+
+
+def state_shardings(cfg: SacConfig, mesh) -> SacState:
+    """NamedShardings matching :func:`_shard_specs` — ``device_put`` a
+    host-built SacState onto the mesh with these before calling the
+    mesh :func:`make_train_iters`."""
+    from jax.sharding import NamedSharding
+
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), _shard_specs(cfg),
+        is_leaf=lambda x: not isinstance(x, (SacState,)),
+    )
+
+
+def make_train_iters(env: EnvDef, cfg: SacConfig, num_iters: int, mesh=None):
+    """Jitted K-iteration SAC train function.  With ``mesh``: a
+    ``shard_map`` over the batch axis — per-device env collection and
+    replay sampling, gradient ``pmean`` over ICI (see
+    :func:`train_iters` ``axis_name``).  ``cfg.num_envs`` must divide by
+    the mesh size; ``cfg.batch_size`` is PER DEVICE (effective global
+    batch = ``batch_size × n_devices``)."""
+    if mesh is None:
+        return jax.jit(lambda s: train_iters(env, cfg, s, num_iters),
+                       donate_argnums=(0,))
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import BATCH_AXIS
+    from .ppo import _shard_map_fn
+
+    n_dev = mesh.devices.size
+    if cfg.num_envs % n_dev != 0:
+        raise ValueError(
+            f"num_envs {cfg.num_envs} not divisible by mesh size {n_dev}"
+        )
+    specs = _shard_specs(cfg)
+    fn = _shard_map_fn()(
+        lambda s: train_iters(env, cfg, s, num_iters, axis_name=BATCH_AXIS),
+        mesh=mesh, in_specs=(specs,), out_specs=(specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 def greedy_action(env: EnvDef, actor, obs, hidden=None):

@@ -120,6 +120,44 @@ def test_warmup_freezes_params():
     assert int(out.total_steps) == 80 and int(out.filled) == 80
 
 
+def test_shardmap_train_iters():
+    """Mesh SAC on the 8-virtual-device CPU mesh: runs, is
+    deterministic, keeps params replicated, advances the global step
+    counter, and actually moves the parameters once the warmup gate
+    opens."""
+    from reinmav_tpu.parallel import make_mesh
+
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = sac.SacConfig(num_envs=32, buffer_capacity=2048, batch_size=16,
+                        warmup_steps=128, hidden=(32, 32))
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    fn = sac.make_train_iters(env, cfg, 12, mesh=mesh)
+
+    def make_state():
+        s = sac.init_state(env, cfg, jax.random.PRNGKey(5))
+        return jax.device_put(s, sac.state_shardings(cfg, mesh))
+
+    out, met = fn(make_state())
+    out2, met2 = fn(make_state())
+    for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(out2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    assert int(out.total_steps) == 32 * 12
+    assert int(out.filled) == (32 // 8) * 12  # per-device ring columns
+    for v in jax.tree.leaves(met):
+        assert np.isfinite(np.asarray(v)).all()
+    # Params moved (total 384 steps > warmup 128, filled 48 >= batch 16)
+    # and are globally consistent (replicated output sharding).
+    init = sac.init_state(env, cfg, jax.random.PRNGKey(5))
+    moved = any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        for a, b in zip(jax.tree.leaves(init.actor), jax.tree.leaves(out.actor))
+    )
+    assert moved
+    assert out.actor[0]["w"].sharding.is_fully_replicated
+
+
 def test_sac_improves_hovering():
     """Learning smoke on MujocoQuadForce-v1 (the reference's RL env,
     shaped reward).  Metric: the episode-return proxy
