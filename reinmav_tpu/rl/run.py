@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native PPO training for reinmav envs")
     p.add_argument("--env", default="quadrotor3d-v0")
     p.add_argument("--alg", default="ppo",
-                   choices=["ppo", "a2c", "ppo_kl", "sac"],
+                   choices=["ppo", "a2c", "ppo_kl", "sac", "td3"],
                    help="a2c = single-pass advantage actor-critic: the PPO "
                         "machinery with one epoch, one batch and no ratio "
                         "clipping (the surrogate reduces to the vanilla PG "
@@ -44,8 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "PPO (baselines ppo1 / TRPO-flavoured: beta*KL "
                         "instead of clipping, beta adapted to --kl_target). "
                         "sac = off-policy soft actor-critic with a "
-                        "TPU-resident replay buffer (rl/sac.py)")
-    # SAC-only knobs (ignored by the on-policy algs).
+                        "TPU-resident replay buffer (rl/sac.py).  td3 = "
+                        "twin-delayed DDPG on the same replay machinery "
+                        "(rl/td3.py)")
+    # Off-policy knobs (ignored by the on-policy algs).
     p.add_argument("--buffer_capacity", type=int, default=1 << 20)
     p.add_argument("--batch_size", type=int, default=2048)
     p.add_argument("--grad_steps", type=int, default=1,
@@ -56,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target_entropy", type=float, default=None,
                    help="SAC entropy target (default -action_dim); more "
                         "negative = less exploration noise")
+    p.add_argument("--explore_noise", type=float, default=0.1,
+                   help="TD3 collect-time action-noise std")
+    p.add_argument("--policy_noise", type=float, default=0.2,
+                   help="TD3 target-smoothing noise std")
+    p.add_argument("--policy_delay", type=int, default=2,
+                   help="TD3 critic updates per actor/target update")
     p.add_argument("--kl_target", type=float, default=0.01,
                    help="per-update KL target for --alg=ppo_kl")
     p.add_argument("--num_timesteps", type=float, default=1e6)
@@ -101,14 +109,12 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def train_sac(args):
-    """Off-policy training loop (--alg=sac): iterations are single
+def train_offpolicy(args):
+    """Off-policy training loop (--alg=sac|td3): iterations are single
     batched env steps + replay-sampled gradient updates, folded
     ``--updates_per_jit`` at a time into one compiled call."""
-    from . import sac
-
     env = make(args.env)
-    cfg = sac.SacConfig(
+    common = dict(
         num_envs=args.num_env,
         buffer_capacity=args.buffer_capacity,
         batch_size=args.batch_size,
@@ -118,12 +124,24 @@ def train_sac(args):
         grad_steps=args.grad_steps,
         warmup_steps=args.warmup_steps,
         reward_scale=args.reward_scale,
-        target_entropy=args.target_entropy,
         hidden=tuple([args.num_hidden] * args.num_layers),
     )
+    if args.alg == "sac":
+        from . import sac as alg
+
+        cfg = alg.SacConfig(target_entropy=args.target_entropy, **common)
+    else:
+        from . import td3 as alg
+
+        cfg = alg.Td3Config(
+            explore_noise=args.explore_noise,
+            policy_noise=args.policy_noise,
+            policy_delay=args.policy_delay,
+            **common,
+        )
     k = max(1, args.updates_per_jit)
-    fn = sac.make_train_iters(env, cfg, k)
-    state = sac.init_state(env, cfg, jax.random.PRNGKey(args.seed))
+    fn = alg.make_train_iters(env, cfg, k)
+    state = alg.init_state(env, cfg, jax.random.PRNGKey(args.seed))
     if args.load_path:
         state = ckpt.restore(args.load_path, state)
 
@@ -144,7 +162,7 @@ def train_sac(args):
         if args.eval_interval and call % args.eval_interval == 0:
             stats = evaluate.evaluate_policy(
                 env,
-                lambda obs: sac.greedy_action(env, state.actor, obs),
+                lambda obs: alg.greedy_action(env, state.actor, obs),
                 jax.random.fold_in(state.key, call),
                 num_envs=args.eval_envs, horizon=args.eval_horizon,
             )
@@ -311,11 +329,12 @@ def play(args, state: ppo.TrainState | None = None):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.alg == "sac":
+    if args.alg in ("sac", "td3"):
         if args.play:
-            raise SystemExit("--play is the PPO render loop; for SAC use "
-                             "--eval_interval (greedy evaluation) instead")
-        train_sac(args)
+            raise SystemExit("--play is the PPO render loop; for SAC/TD3 "
+                             "use --eval_interval (greedy evaluation) "
+                             "instead")
+        train_offpolicy(args)
         return
     state = None
     if not args.play or args.load_path is None:

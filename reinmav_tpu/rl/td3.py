@@ -1,0 +1,320 @@
+"""Twin Delayed DDPG (TD3) — deterministic-policy off-policy learner.
+
+The reference's ``run.py`` resolved ANY baselines algorithm module,
+DDPG included (``gym_reinmav/run.py:125-138``); this module is the
+deterministic-policy representative, built on the same TPU-resident
+machinery as :mod:`sac` (whose docstring explains the design): the
+feature-major replay ring, the transposed ``(features, batch)`` MLPs,
+and the one-``lax.scan`` collect+update loop with in-graph warmup
+masks.  TD3-specific pieces (Fujimoto et al. 2018):
+
+* deterministic tanh actor + Gaussian **exploration noise** at collect
+  time (clipped to [-1, 1]);
+* **target policy smoothing**: the Bellman target's action gets
+  clipped Gaussian noise;
+* twin critics with min-clipping (shared with SAC);
+* **delayed policy updates**: the actor and the polyak target blends
+  advance every ``policy_delay``-th critic update — inside the compiled
+  scan this is an in-graph gate on the update counter, exactly like the
+  warmup gate (both branches traced once, no Python control flow).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..envs.core import EnvDef
+# Shared off-policy primitives (see sac.py for the layout rationale).
+from .sac import (
+    _capacity,
+    _mlp_init,
+    _mlp_t,
+    _row_dims,
+    _scale_action_t,
+    buffer_insert,
+    buffer_sample,
+)
+
+
+class Td3Config(NamedTuple):
+    num_envs: int = 256
+    buffer_capacity: int = 1 << 20
+    batch_size: int = 2048
+    learning_rate: float = 3e-4
+    gamma: float = 0.99
+    tau: float = 0.005               # polyak blend (actor + critic targets)
+    hidden: tuple = (256, 256)
+    grad_steps: int = 1              # gradient updates per env step
+    warmup_steps: int = 10_000       # total uniform-random env steps
+    reward_scale: float = 1.0
+    max_grad_norm: float | None = None
+    explore_noise: float = 0.1       # std of collect-time action noise
+    policy_noise: float = 0.2        # std of target-smoothing noise
+    noise_clip: float = 0.5          # clip on the smoothing noise
+    policy_delay: int = 2            # critic updates per actor update
+
+
+class Td3State(NamedTuple):
+    actor: Any
+    actor_target: Any
+    q1: Any
+    q2: Any
+    q1_target: Any
+    q2_target: Any
+    opt_actor: Any
+    opt_q: Any
+    buffer: jnp.ndarray      # (R, C) feature-major ring (see sac.py)
+    ptr: jnp.ndarray
+    filled: jnp.ndarray
+    env_states: jnp.ndarray  # (B, state_dim) row layout at the API edge
+    key: jax.Array
+    total_steps: jnp.ndarray
+    updates: jnp.ndarray     # int32 critic-update counter (delay gating)
+
+
+def actor_action_t(actor, obs_t):
+    """Deterministic policy: tanh(MLP(obs)) in [-1, 1], (A, batch)."""
+    return jnp.tanh(_mlp_t(actor, obs_t))
+
+
+def q_value_t(q, obs_t, act_t):
+    return _mlp_t(q, jnp.concatenate([obs_t, act_t], axis=0))[0]
+
+
+def make_optimizers(cfg: Td3Config):
+    def maybe_clip(tx):
+        if cfg.max_grad_norm is not None:
+            return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+        return tx
+
+    return (
+        maybe_clip(optax.adam(cfg.learning_rate)),   # actor
+        maybe_clip(optax.adam(cfg.learning_rate)),   # twin critics
+    )
+
+
+def init_state(env: EnvDef, cfg: Td3Config, key: jax.Array) -> Td3State:
+    k_a, k_1, k_2, k_env, k_loop = jax.random.split(key, 5)
+    actor = _mlp_init(k_a, (env.obs_dim, *cfg.hidden, env.action_dim))
+    q1 = _mlp_init(k_1, (env.obs_dim + env.action_dim, *cfg.hidden, 1))
+    q2 = _mlp_init(k_2, (env.obs_dim + env.action_dim, *cfg.hidden, 1))
+    opt_a, opt_q = make_optimizers(cfg)
+    cap = _capacity(cfg, env)
+    return Td3State(
+        actor=actor, actor_target=jax.tree.map(jnp.copy, actor),
+        q1=q1, q2=q2,
+        q1_target=jax.tree.map(jnp.copy, q1),
+        q2_target=jax.tree.map(jnp.copy, q2),
+        opt_actor=opt_a.init(actor),
+        opt_q=opt_q.init({"q1": q1, "q2": q2}),
+        buffer=jnp.zeros((_row_dims(env), cap), jnp.float32),
+        ptr=jnp.zeros((), jnp.int32),
+        filled=jnp.zeros((), jnp.int32),
+        env_states=env.vreset(jax.random.split(k_env, cfg.num_envs)),
+        key=k_loop,
+        total_steps=jnp.zeros((), jnp.int32),
+        updates=jnp.zeros((), jnp.int32),
+    )
+
+
+def critic_loss(q_params, cfg: Td3Config, env: EnvDef, batch_rows,
+                targets, key, actor_target):
+    """MSE of both critics against the smoothed Bellman target."""
+    d, a = env.obs_dim, env.action_dim
+    obs = batch_rows[:d]
+    act = batch_rows[d:d + a]
+    rew = batch_rows[d + a]
+    nobs = batch_rows[d + a + 1:2 * d + a + 1]
+    done = batch_rows[2 * d + a + 1]
+
+    q1t, q2t = targets
+    na = actor_action_t(actor_target, nobs)
+    noise = jnp.clip(
+        cfg.policy_noise * jax.random.normal(key, na.shape, jnp.float32),
+        -cfg.noise_clip, cfg.noise_clip,
+    )
+    na = jnp.clip(na + noise, -1.0, 1.0)
+    tq = jnp.minimum(q_value_t(q1t, nobs, na), q_value_t(q2t, nobs, na))
+    target = jax.lax.stop_gradient(
+        rew * cfg.reward_scale + cfg.gamma * (1.0 - done) * tq
+    )
+    q1v = q_value_t(q_params["q1"], obs, act)
+    q2v = q_value_t(q_params["q2"], obs, act)
+    loss = jnp.mean(jnp.square(q1v - target) + jnp.square(q2v - target))
+    return loss, (jnp.mean(q1v), jnp.mean(target))
+
+
+def actor_loss(actor, env: EnvDef, batch_rows, q1):
+    """Deterministic policy gradient: maximise q1 along the actor."""
+    obs = batch_rows[:env.obs_dim]
+    return -jnp.mean(q_value_t(q1, obs, actor_action_t(actor, obs)))
+
+
+def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
+                num_iters: int, axis_name: str | None = None):
+    """``num_iters`` TD3 iterations (each: one batched env step +
+    ``cfg.grad_steps`` updates) as ONE compiled scan; metrics averaged
+    in-jit (single host fetch).  ``axis_name`` as in
+    :func:`sac.train_iters`: per-device collection/replay inside
+    ``shard_map``, gradients/metrics ``pmean``-ed."""
+    opt_a, opt_q = make_optimizers(cfg)
+    d, a = env.obs_dim, env.action_dim
+
+    def iteration(s: Td3State, _):
+        if axis_name is None:
+            key, k_noise, k_rand, k_reset, k_loop = jax.random.split(s.key, 5)
+        else:
+            base = jax.random.fold_in(s.key, jax.lax.axis_index(axis_name))
+            _, k_noise, k_rand, k_reset, k_loop = jax.random.split(base, 5)
+            key = jax.random.fold_in(s.key, jnp.uint32(0x9E3779B9))
+
+        # ---- collect: deterministic policy + exploration noise ---------
+        states_t = s.env_states.T
+        obs_t = states_t[:d]
+        a_pol = jnp.clip(
+            actor_action_t(s.actor, obs_t)
+            + cfg.explore_noise
+            * jax.random.normal(k_noise, (a, obs_t.shape[1]), jnp.float32),
+            -1.0, 1.0,
+        )
+        a_rand = jax.random.uniform(k_rand, a_pol.shape, jnp.float32,
+                                    -1.0, 1.0)
+        warm = s.total_steps < cfg.warmup_steps
+        a_t = jnp.where(warm, a_rand, a_pol)
+        out = env.autoreset_step_t(states_t, _scale_action_t(env, a_t),
+                                   k_reset)
+        block = jnp.concatenate([
+            obs_t, a_t,
+            out.reward[None], out.obs[:d], out.done[None].astype(jnp.float32),
+        ])
+        buffer, ptr, filled = buffer_insert(s.buffer, s.ptr, s.filled, block)
+        total = s.total_steps + cfg.num_envs
+        ready = (filled >= cfg.batch_size) & (total >= cfg.warmup_steps)
+        gate = ready.astype(jnp.float32)
+
+        # ---- update(s) --------------------------------------------------
+        def one_update(carry, k):
+            actor, at, q1, q2, q1t, q2t, oa, oq, upd = carry
+            k_s, k_tgt = jax.random.split(k)
+            rows = buffer_sample(buffer, jnp.maximum(filled, 1), k_s,
+                                 cfg.batch_size)
+            (qloss, (q_mean, tgt_mean)), qg = jax.value_and_grad(
+                critic_loss, has_aux=True
+            )({"q1": q1, "q2": q2}, cfg, env, rows, (q1t, q2t), k_tgt, at)
+            if axis_name is not None:
+                qg = jax.lax.pmean(qg, axis_name)
+            qg = jax.tree.map(lambda g: g * gate, qg)
+            qu, oq = opt_q.update(qg, oq, {"q1": q1, "q2": q2})
+            qp = optax.apply_updates({"q1": q1, "q2": q2}, qu)
+            q1, q2 = qp["q1"], qp["q2"]
+            upd = upd + ready.astype(jnp.int32)
+
+            # Delayed actor + target updates: only on every
+            # policy_delay-th REAL (gate-open) critic update.  upd was
+            # already incremented, so the first open update has upd=1
+            # and the actor moves when upd % delay == 0.
+            slow = gate * (upd % cfg.policy_delay == 0).astype(jnp.float32)
+            ploss, ag = jax.value_and_grad(actor_loss)(actor, env, rows, q1)
+            if axis_name is not None:
+                ag = jax.lax.pmean(ag, axis_name)
+            ag = jax.tree.map(lambda g: g * slow, ag)
+            au, oa = opt_a.update(ag, oa, actor)
+            actor = optax.apply_updates(actor, au)
+
+            blend = cfg.tau * slow
+            polyak = lambda t, o: jax.tree.map(
+                lambda x, y: (1 - blend) * x + blend * y, t, o
+            )
+            at = polyak(at, actor)
+            q1t = polyak(q1t, q1)
+            q2t = polyak(q2t, q2)
+            met = {"q_loss": qloss, "pi_loss": ploss, "q_mean": q_mean,
+                   "target_mean": tgt_mean}
+            return (actor, at, q1, q2, q1t, q2t, oa, oq, upd), met
+
+        carry0 = (s.actor, s.actor_target, s.q1, s.q2, s.q1_target,
+                  s.q2_target, s.opt_actor, s.opt_q, s.updates)
+        carry, met = jax.lax.scan(
+            one_update, carry0, jax.random.split(k_loop, cfg.grad_steps)
+        )
+        actor, at, q1, q2, q1t, q2t, oa, oq, upd = carry
+        met = jax.tree.map(jnp.mean, met)
+        met["mean_reward"] = jnp.mean(out.reward)
+        met["done_frac"] = jnp.mean(out.done.astype(jnp.float32))
+        met["buffer_filled"] = filled.astype(jnp.float32)
+        if axis_name is not None:
+            met = jax.lax.pmean(met, axis_name)
+
+        new = Td3State(
+            actor=actor, actor_target=at, q1=q1, q2=q2,
+            q1_target=q1t, q2_target=q2t, opt_actor=oa, opt_q=oq,
+            buffer=buffer, ptr=ptr, filled=filled,
+            env_states=out.state.T, key=key, total_steps=total,
+            updates=upd,
+        )
+        return new, met
+
+    state, metrics = jax.lax.scan(iteration, state, None, length=num_iters)
+    return state, jax.tree.map(jnp.mean, metrics)
+
+
+def _shard_specs(cfg: Td3Config):
+    """PartitionSpecs mirroring :func:`sac._shard_specs`: params and
+    scalars replicated, env batch + replay columns sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import BATCH_AXIS
+
+    rep = P()
+    return Td3State(
+        actor=rep, actor_target=rep, q1=rep, q2=rep, q1_target=rep,
+        q2_target=rep, opt_actor=rep, opt_q=rep,
+        buffer=P(None, BATCH_AXIS), ptr=rep, filled=rep,
+        env_states=P(BATCH_AXIS), key=rep, total_steps=rep, updates=rep,
+    )
+
+
+def state_shardings(cfg: Td3Config, mesh) -> Td3State:
+    from jax.sharding import NamedSharding
+
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), _shard_specs(cfg),
+        is_leaf=lambda x: not isinstance(x, (Td3State,)),
+    )
+
+
+def make_train_iters(env: EnvDef, cfg: Td3Config, num_iters: int, mesh=None):
+    """Jitted K-iteration TD3 train function; with ``mesh`` the
+    shard_map path (semantics of :func:`sac.make_train_iters`)."""
+    if mesh is None:
+        return jax.jit(lambda s: train_iters(env, cfg, s, num_iters),
+                       donate_argnums=(0,))
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import BATCH_AXIS
+    from .ppo import _shard_map_fn
+
+    n_dev = mesh.devices.size
+    if cfg.num_envs % n_dev != 0:
+        raise ValueError(
+            f"num_envs {cfg.num_envs} not divisible by mesh size {n_dev}"
+        )
+    specs = _shard_specs(cfg)
+    fn = _shard_map_fn()(
+        lambda s: train_iters(env, cfg, s, num_iters, axis_name=BATCH_AXIS),
+        mesh=mesh, in_specs=(specs,), out_specs=(specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def greedy_action(env: EnvDef, actor, obs):
+    """Deterministic (noise-free) action for evaluation, row layout."""
+    a_t = actor_action_t(actor, obs.T if obs.ndim == 2 else obs[:, None])
+    scaled = _scale_action_t(env, a_t)
+    return scaled.T if obs.ndim == 2 else scaled[:, 0]

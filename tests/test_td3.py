@@ -1,0 +1,166 @@
+"""TD3 learner: Bellman-target math vs a NumPy hand-roll, warmup and
+policy-delay gating, determinism, the shard_map path, and a learning
+smoke test.  (CPU backend via conftest; float32.)  The replay ring
+itself is covered in test_sac.py — TD3 shares the implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import reinmav_tpu
+from reinmav_tpu.rl import td3
+from reinmav_tpu.rl.sac import _row_dims
+
+
+def test_critic_target_matches_numpy():
+    """The smoothed Bellman target inside critic_loss equals a NumPy
+    hand-roll: r*scale + gamma*(1-d)*min(Q1',Q2')(s', clip(pi'(s')+eps))."""
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = td3.Td3Config(reward_scale=0.5, gamma=0.9, policy_noise=0.2,
+                        noise_clip=0.5)
+    d, a = env.obs_dim, env.action_dim
+    state = td3.init_state(env, cfg._replace(num_envs=4, buffer_capacity=64,
+                                             batch_size=4, hidden=(32, 32)),
+                           jax.random.PRNGKey(3))
+    n = 64
+    rows = jax.random.normal(jax.random.PRNGKey(4), (_row_dims(env), n))
+    rows = rows.at[2 * d + a + 1].set(
+        (rows[2 * d + a + 1] > 0).astype(jnp.float32))  # done in {0,1}
+    k_tgt = jax.random.PRNGKey(5)
+
+    loss, (q_mean, tgt_mean) = td3.critic_loss(
+        {"q1": state.q1, "q2": state.q2}, cfg, env, rows,
+        (state.q1_target, state.q2_target), k_tgt, state.actor_target)
+
+    nobs = rows[d + a + 1:2 * d + a + 1]
+    na = td3.actor_action_t(state.actor_target, nobs)
+    noise = jnp.clip(
+        0.2 * jax.random.normal(k_tgt, na.shape, jnp.float32), -0.5, 0.5)
+    na = jnp.clip(na + noise, -1.0, 1.0)
+    tq = np.asarray(jnp.minimum(td3.q_value_t(state.q1_target, nobs, na),
+                                td3.q_value_t(state.q2_target, nobs, na)))
+    rew, done = np.asarray(rows[d + a]), np.asarray(rows[2 * d + a + 1])
+    expect = rew * 0.5 + 0.9 * (1 - done) * tq
+    np.testing.assert_allclose(float(tgt_mean), expect.mean(), rtol=1e-5)
+    q1v = np.asarray(td3.q_value_t(state.q1, rows[:d], rows[d:d + a]))
+    q2v = np.asarray(td3.q_value_t(state.q2, rows[:d], rows[d:d + a]))
+    np.testing.assert_allclose(
+        float(loss),
+        np.mean((q1v - expect) ** 2 + (q2v - expect) ** 2), rtol=1e-5)
+
+
+def test_train_iters_deterministic():
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = td3.Td3Config(num_envs=16, buffer_capacity=1024, batch_size=64,
+                        warmup_steps=32, hidden=(32, 32))
+    fn = jax.jit(lambda s: td3.train_iters(env, cfg, s, 10))
+    s1, m1 = fn(td3.init_state(env, cfg, jax.random.PRNGKey(7)))
+    s2, m2 = fn(td3.init_state(env, cfg, jax.random.PRNGKey(7)))
+    for a_, b_ in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+    for a_, b_ in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+
+
+def test_warmup_freezes_params_and_counts_updates():
+    """No parameter moves until warmup_steps have been collected, and
+    the delayed-update counter only counts gate-open updates."""
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = td3.Td3Config(num_envs=16, buffer_capacity=1024, batch_size=64,
+                        warmup_steps=10_000, hidden=(32, 32))
+    state = td3.init_state(env, cfg, jax.random.PRNGKey(0))
+    out, _ = jax.jit(lambda s: td3.train_iters(env, cfg, s, 5))(state)
+    for a_, b_ in zip(jax.tree.leaves(state.actor), jax.tree.leaves(out.actor)):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+    for a_, b_ in zip(jax.tree.leaves(state.q1), jax.tree.leaves(out.q1)):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+    assert int(out.total_steps) == 80 and int(out.filled) == 80
+    assert int(out.updates) == 0  # warmup updates never count
+
+
+def test_policy_delay_gates_actor():
+    """With policy_delay=2 the critics move every open update but the
+    actor/targets only every second one: after ONE open update the
+    critics have moved while the actor has not."""
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = td3.Td3Config(num_envs=16, buffer_capacity=1024, batch_size=16,
+                        warmup_steps=0, hidden=(32, 32), policy_delay=2)
+    state = td3.init_state(env, cfg, jax.random.PRNGKey(1))
+    out, _ = jax.jit(lambda s: td3.train_iters(env, cfg, s, 1))(state)
+    assert int(out.updates) == 1
+    q_moved = any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        for a, b in zip(jax.tree.leaves(state.q1), jax.tree.leaves(out.q1))
+    )
+    assert q_moved
+    for a_, b_ in zip(jax.tree.leaves(state.actor), jax.tree.leaves(out.actor)):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+    for a_, b_ in zip(jax.tree.leaves(state.q1_target),
+                      jax.tree.leaves(out.q1_target)):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+    # Second update: now the actor and targets move.
+    out2, _ = jax.jit(lambda s: td3.train_iters(env, cfg, s, 1))(out)
+    assert int(out2.updates) == 2
+    a_moved = any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        for a, b in zip(jax.tree.leaves(out.actor), jax.tree.leaves(out2.actor))
+    )
+    assert a_moved
+
+
+def test_shardmap_train_iters():
+    """Mesh TD3 on the 8-virtual-device CPU mesh (the SAC test's
+    contract: deterministic, replicated params, per-device rings)."""
+    from reinmav_tpu.parallel import make_mesh
+
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = td3.Td3Config(num_envs=32, buffer_capacity=2048, batch_size=16,
+                        warmup_steps=128, hidden=(32, 32))
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    fn = td3.make_train_iters(env, cfg, 12, mesh=mesh)
+
+    def make_state():
+        s = td3.init_state(env, cfg, jax.random.PRNGKey(5))
+        return jax.device_put(s, td3.state_shardings(cfg, mesh))
+
+    out, met = fn(make_state())
+    out2, met2 = fn(make_state())
+    for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(out2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    assert int(out.total_steps) == 32 * 12
+    assert int(out.filled) == (32 // 8) * 12
+    for v in jax.tree.leaves(met):
+        assert np.isfinite(np.asarray(v)).all()
+    init = td3.init_state(env, cfg, jax.random.PRNGKey(5))
+    moved = any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        for a, b in zip(jax.tree.leaves(init.actor), jax.tree.leaves(out.actor))
+    )
+    assert moved
+    assert out.actor[0]["w"].sharding.is_fully_replicated
+
+
+def test_td3_improves_hovering():
+    """Learning smoke on MujocoQuadForce-v1 — same episode-length proxy
+    as test_sac_improves_hovering (survival is the learnable signal)."""
+    env = reinmav_tpu.make("MujocoQuadForce-v1")
+    cfg = td3.Td3Config(num_envs=32, buffer_capacity=65536, batch_size=256,
+                        warmup_steps=2048, hidden=(64, 64), grad_steps=4,
+                        gamma=0.95, learning_rate=1e-3)
+    state = td3.init_state(env, cfg, jax.random.PRNGKey(0))
+    fn = jax.jit(lambda s: td3.train_iters(env, cfg, s, 250))
+
+    def ep_ret(m):
+        return float(m["mean_reward"]) / max(float(m["done_frac"]), 1e-4)
+
+    state, m = fn(state)  # includes the 2048-step uniform-random warmup
+    first = ep_ret(m)
+    tail = []
+    for _ in range(11):
+        state, m = fn(state)
+        tail.append(ep_ret(m))
+    last = float(np.mean(tail[-3:]))
+    assert np.isfinite(last)
+    assert last > 1.8 * first, (first, tail)
