@@ -112,10 +112,18 @@ def bench_sac(key) -> tuple[float, str]:
 
     from reinmav_tpu.rl import sac
 
+    # sample_tile stays 1: tiled gathers add ~19% at matched K but the
+    # hover env's deterministic resets phase-lock the batch, and a measured
+    # 60M-step run with tile=128 failed to reach survival (the ADVICE r2
+    # shuffle-tile caveat, live).  Honest uniform sampling is the
+    # benchmark; the knob exists for desynchronised workloads.
     env = reinmav_tpu.make("MujocoQuadForce-v1")
     cfg = sac.SacConfig(num_envs=65536, batch_size=8192,
                         buffer_capacity=1 << 21, warmup_steps=0)
-    K = 32
+    # K=128 folds per dispatch: per-iteration compute is ~0.8 ms, so the
+    # tunnel's ~25 ms dispatch floor dominates at small K (measured 41M
+    # at K=32, 56M at K=64, 67M at K=128).
+    K = 128
     state = sac.init_state(env, cfg, jax.random.PRNGKey(1))
     fn = sac.make_train_iters(env, cfg, K)
     state, m = fn(state)
@@ -127,7 +135,7 @@ def bench_sac(key) -> tuple[float, str]:
         float(np.asarray(state.total_steps))
         times.append(time.perf_counter() - t0)
     assert np.isfinite(float(np.asarray(m["q_loss"])))
-    return K * cfg.num_envs / min(times), "hover-b65536-batch8192-K32"
+    return K * cfg.num_envs / min(times), "hover-b65536-batch8192-dense8-K128"
 
 
 def main():

@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target_entropy", type=float, default=None,
                    help="SAC entropy target (default -action_dim); more "
                         "negative = less exploration noise")
+    p.add_argument("--sample_tile", type=int, default=1,
+                   help="replay gather granularity: sample batch/tile "
+                        "contiguous column blocks instead of scattered "
+                        "columns (lane-width HBM reads; use 128 at large "
+                        "num_env — see SacConfig.sample_tile)")
     p.add_argument("--explore_noise", type=float, default=0.1,
                    help="TD3 collect-time action-noise std")
     p.add_argument("--policy_noise", type=float, default=0.2,
@@ -124,6 +129,7 @@ def train_offpolicy(args):
         grad_steps=args.grad_steps,
         warmup_steps=args.warmup_steps,
         reward_scale=args.reward_scale,
+        sample_tile=args.sample_tile,
         hidden=tuple([args.num_hidden] * args.num_layers),
     )
     if args.alg == "sac":

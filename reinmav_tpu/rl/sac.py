@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..envs.core import EnvDef
+from ..envs.core import EnvDef, StepOut
 from . import networks
 
 LOG_STD_MIN = -20.0
@@ -58,6 +58,18 @@ class SacConfig(NamedTuple):
     warmup_steps: int = 10_000       # total uniform-random env steps
     reward_scale: float = 1.0
     max_grad_norm: float | None = None
+    # Replay-sampling granularity: draw ``batch_size/sample_tile`` random
+    # contiguous column BLOCKS instead of batch_size scattered columns.
+    # Scattered single-column gathers from the (R, C) ring read 4-byte
+    # granules; 128-wide tiles read full lanes (measured +19% on the
+    # 65536-env hover config).  Within a tile the samples are DISTINCT
+    # ENVS inserted at the same iteration — i.i.d. ONLY once resets have
+    # desynchronised the batch.  For deterministic-reset envs (the
+    # tpuquad family) the batch starts PHASE-LOCKED and tiles are
+    # near-duplicates: a measured 60M-step hover run at tile=128 never
+    # reached survival while tile=1 solves it (the ppo shuffle_tile
+    # caveat, live).  Default 1 = exact uniform sampling.
+    sample_tile: int = 1
 
 
 class SacState(NamedTuple):
@@ -181,14 +193,36 @@ def buffer_insert(buffer, ptr, filled, block):
     return buffer, ptr, filled
 
 
-def buffer_sample(buffer, filled, key, batch: int):
-    """Uniform (R, batch) column gather from the filled prefix."""
+def buffer_sample(buffer, filled, key, batch: int, tile: int = 1):
+    """Uniform (R, batch) column gather from the filled prefix.
+
+    ``tile > 1``: gather ``batch/tile`` random contiguous (R, tile)
+    blocks instead (lane-width reads; see SacConfig.sample_tile).  The
+    caller guarantees ``tile | batch`` and ``tile | filled`` (inserts
+    are num_envs-wide and ``num_envs % tile == 0`` is validated at
+    trace time), so whole tiles are always fully-filled columns."""
     # uniform * filled (floor) instead of randint: dynamic maxval without
     # host involvement; the modulo bias at 2^-24 granularity is nil.
-    u = jax.random.uniform(key, (batch,), jnp.float32)
-    idx = jnp.minimum((u * filled.astype(jnp.float32)).astype(jnp.int32),
-                      filled - 1)
-    return buffer[:, idx]
+    if tile <= 1:
+        u = jax.random.uniform(key, (batch,), jnp.float32)
+        idx = jnp.minimum((u * filled.astype(jnp.float32)).astype(jnp.int32),
+                          filled - 1)
+        return buffer[:, idx]
+    n = batch // tile
+    n_filled = jnp.maximum(filled // tile, 1)  # pre-warmup: gate is closed
+    u = jax.random.uniform(key, (n,), jnp.float32)
+    idx = jnp.minimum((u * n_filled.astype(jnp.float32)).astype(jnp.int32),
+                      n_filled - 1)
+    # vmapped dynamic_slice lowers to a (R, tile)-slice gather — no
+    # relayout of the big ring (a reshape-to-(R, C/tile, tile) would
+    # re-tile 100s of MB).
+    blocks = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(
+            buffer, (jnp.zeros((), idx.dtype), i * tile),
+            (buffer.shape[0], tile),
+        )
+    )(idx)                                   # (n, R, tile)
+    return jnp.moveaxis(blocks, 0, 1).reshape(buffer.shape[0], batch)
 
 
 # ---------------------------------------------------------------------------
@@ -243,6 +277,28 @@ def _scale_action_t(env: EnvDef, a_t):
     """[-1,1] policy space -> env action range."""
     lo, hi = env.action_low, env.action_high
     return lo + (a_t + 1.0) * (0.5 * (hi - lo))
+
+
+def _autoreset_dense8(env: EnvDef, states_t, actions_t, key) -> StepOut:
+    """Autoreset env step in the sublane-dense (D, 8, B/8) view,
+    flattened back to (D, B).
+
+    A (D, B) elementwise op keeps only D of every 8 sublanes busy
+    (D≈13-23 pads to 16/24); the (D, 8, B/8) view fills all 8 — the
+    same trick as the rollout scans (envs/core.py vstep_t8, measured
+    ~5x there).  The reshapes relayout only the (D, B) state/action
+    planes (~10 MB at B=65536), far cheaper than the win on the env
+    math.  Column b maps to (b // (B/8), b % (B/8)) and back — the
+    surrounding (D, B) tensors stay aligned."""
+    dd, b = states_t.shape
+    out = env.autoreset_step_t8(
+        states_t.reshape(dd, 8, b // 8),
+        actions_t.reshape(actions_t.shape[0], 8, b // 8),
+        key,
+    )
+    tr = None if out.truncated is None else out.truncated.reshape(b)
+    return StepOut(out.state.reshape(dd, b), out.obs.reshape(-1, b),
+                   out.reward.reshape(b), out.done.reshape(b), tr)
 
 
 def make_optimizers(cfg: SacConfig):
@@ -303,6 +359,15 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
         if cfg.target_entropy is None else cfg.target_entropy
     )
     d, a = env.obs_dim, env.action_dim
+    # Local (per-device under shard_map) env batch, from the ARRAY shape.
+    b_local = state.env_states.shape[0]
+    dense8 = b_local % 8 == 0
+    tile = cfg.sample_tile
+    if tile > 1 and (cfg.batch_size % tile or b_local % tile):
+        raise ValueError(
+            f"sample_tile {tile} must divide batch_size {cfg.batch_size} "
+            f"and the (per-device) env batch {b_local}"
+        )
 
     def iteration(s: SacState, _):
         if axis_name is None:
@@ -323,8 +388,8 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
                                     -1.0, 1.0)
         warm = s.total_steps < cfg.warmup_steps
         a_t = jnp.where(warm, a_rand, a_pol)           # [-1, 1]
-        out = env.autoreset_step_t(states_t, _scale_action_t(env, a_t),
-                                   k_reset)
+        step8 = _autoreset_dense8 if dense8 else EnvDef.autoreset_step_t
+        out = step8(env, states_t, _scale_action_t(env, a_t), k_reset)
         # Post-reset obs lands in the next_obs slot for done columns —
         # harmless: the Bellman target multiplies it by (1 - done).
         block = jnp.concatenate([
@@ -342,7 +407,7 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
              oa, oq, oal) = carry
             k_s, k_tgt, k_pi = jax.random.split(k, 3)
             rows = buffer_sample(buffer, jnp.maximum(filled, 1), k_s,
-                                 cfg.batch_size)
+                                 cfg.batch_size, tile=tile)
             (qloss, (q_mean, tgt_mean)), qg = jax.value_and_grad(
                 critic_loss, has_aux=True
             )({"q1": q1, "q2": q2}, cfg, env, rows, (q1t, q2t), k_tgt,

@@ -30,6 +30,7 @@ import optax
 from ..envs.core import EnvDef
 # Shared off-policy primitives (see sac.py for the layout rationale).
 from .sac import (
+    _autoreset_dense8,
     _capacity,
     _mlp_init,
     _mlp_t,
@@ -56,6 +57,8 @@ class Td3Config(NamedTuple):
     policy_noise: float = 0.2        # std of target-smoothing noise
     noise_clip: float = 0.5          # clip on the smoothing noise
     policy_delay: int = 2            # critic updates per actor update
+    sample_tile: int = 1             # replay gather granularity (see
+                                     # SacConfig.sample_tile)
 
 
 class Td3State(NamedTuple):
@@ -163,6 +166,14 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
     ``shard_map``, gradients/metrics ``pmean``-ed."""
     opt_a, opt_q = make_optimizers(cfg)
     d, a = env.obs_dim, env.action_dim
+    b_local = state.env_states.shape[0]
+    dense8 = b_local % 8 == 0
+    tile = cfg.sample_tile
+    if tile > 1 and (cfg.batch_size % tile or b_local % tile):
+        raise ValueError(
+            f"sample_tile {tile} must divide batch_size {cfg.batch_size} "
+            f"and the (per-device) env batch {b_local}"
+        )
 
     def iteration(s: Td3State, _):
         if axis_name is None:
@@ -185,8 +196,8 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
                                     -1.0, 1.0)
         warm = s.total_steps < cfg.warmup_steps
         a_t = jnp.where(warm, a_rand, a_pol)
-        out = env.autoreset_step_t(states_t, _scale_action_t(env, a_t),
-                                   k_reset)
+        step8 = _autoreset_dense8 if dense8 else EnvDef.autoreset_step_t
+        out = step8(env, states_t, _scale_action_t(env, a_t), k_reset)
         block = jnp.concatenate([
             obs_t, a_t,
             out.reward[None], out.obs[:d], out.done[None].astype(jnp.float32),
@@ -201,7 +212,7 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
             actor, at, q1, q2, q1t, q2t, oa, oq, upd = carry
             k_s, k_tgt = jax.random.split(k)
             rows = buffer_sample(buffer, jnp.maximum(filled, 1), k_s,
-                                 cfg.batch_size)
+                                 cfg.batch_size, tile=tile)
             (qloss, (q_mean, tgt_mean)), qg = jax.value_and_grad(
                 critic_loss, has_aux=True
             )({"q1": q1, "q2": q2}, cfg, env, rows, (q1t, q2t), k_tgt, at)

@@ -35,6 +35,42 @@ def test_buffer_sample_stays_in_filled_prefix():
     assert np.isfinite(np.asarray(rows)).all()  # never touched the NaN tail
 
 
+def test_buffer_sample_tiled_matches_semantics():
+    """Tiled sampling returns whole contiguous filled blocks: every
+    returned column exists in the filled prefix, tiles are contiguous,
+    and all tile starts are tile-aligned."""
+    cap, tile, batch = 256, 8, 64
+    # Column j carries value j in row 0 so provenance is checkable.
+    buf = jnp.tile(jnp.arange(cap, dtype=jnp.float32)[None, :], (2, 1))
+    buf = buf.at[:, 128:].set(np.nan)  # beyond the filled prefix
+    rows = sac.buffer_sample(buf, jnp.asarray(128, jnp.int32),
+                             jax.random.PRNGKey(0), batch, tile=tile)
+    got = np.asarray(rows[0]).reshape(batch // tile, tile)
+    assert np.isfinite(got).all()
+    starts = got[:, 0]
+    assert (starts % tile == 0).all()
+    np.testing.assert_array_equal(got, starts[:, None] + np.arange(tile))
+
+
+def test_tiled_train_iters_runs_and_learns_shape():
+    """sample_tile > 1 wires through train_iters (dense8 collect on,
+    16 % 8 == 0) and produces finite, deterministic results."""
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = sac.SacConfig(num_envs=16, buffer_capacity=1024, batch_size=64,
+                        warmup_steps=32, hidden=(32, 32), sample_tile=8)
+    fn = jax.jit(lambda s: sac.train_iters(env, cfg, s, 10))
+    s1, m1 = fn(sac.init_state(env, cfg, jax.random.PRNGKey(7)))
+    s2, m2 = fn(sac.init_state(env, cfg, jax.random.PRNGKey(7)))
+    for a_, b_ in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+    for v in jax.tree.leaves(m1):
+        assert np.isfinite(np.asarray(v)).all()
+    with pytest.raises(ValueError, match="sample_tile"):
+        bad = cfg._replace(sample_tile=48)  # does not divide batch 64
+        sac.train_iters(env, bad, sac.init_state(env, bad,
+                                                 jax.random.PRNGKey(0)), 1)
+
+
 def test_squashed_log_prob_matches_naive():
     """Stable squash correction == naive log(1 - tanh(u)^2) at moderate u."""
     key = jax.random.PRNGKey(1)
