@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native PPO training for reinmav envs")
     p.add_argument("--env", default="quadrotor3d-v0")
     p.add_argument("--alg", default="ppo",
-                   choices=["ppo", "a2c", "ppo_kl", "sac", "td3"],
+                   choices=["ppo", "a2c", "ppo_kl", "sac", "td3", "ddpg"],
                    help="a2c = single-pass advantage actor-critic: the PPO "
                         "machinery with one epoch, one batch and no ratio "
                         "clipping (the surrogate reduces to the vanilla PG "
@@ -46,7 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "sac = off-policy soft actor-critic with a "
                         "TPU-resident replay buffer (rl/sac.py).  td3 = "
                         "twin-delayed DDPG on the same replay machinery "
-                        "(rl/td3.py)")
+                        "(rl/td3.py).  ddpg = classic DDPG: td3 with "
+                        "single_critic, policy_noise=0, policy_delay=1")
     # Off-policy knobs (ignored by the on-policy algs).
     p.add_argument("--buffer_capacity", type=int, default=1 << 20)
     p.add_argument("--batch_size", type=int, default=2048)
@@ -139,12 +140,23 @@ def train_offpolicy(args):
     else:
         from . import td3 as alg
 
-        cfg = alg.Td3Config(
-            explore_noise=args.explore_noise,
-            policy_noise=args.policy_noise,
-            policy_delay=args.policy_delay,
-            **common,
-        )
+        if args.alg == "ddpg":
+            # Classic DDPG = TD3 minus its three additions (rl/td3.py
+            # module docstring); --policy_noise/--policy_delay are TD3
+            # knobs and intentionally not threaded through.
+            cfg = alg.Td3Config(
+                explore_noise=args.explore_noise,
+                policy_noise=0.0, noise_clip=0.0, policy_delay=1,
+                single_critic=True,
+                **common,
+            )
+        else:
+            cfg = alg.Td3Config(
+                explore_noise=args.explore_noise,
+                policy_noise=args.policy_noise,
+                policy_delay=args.policy_delay,
+                **common,
+            )
     k = max(1, args.updates_per_jit)
     fn = alg.make_train_iters(env, cfg, k)
     state = alg.init_state(env, cfg, jax.random.PRNGKey(args.seed))
@@ -335,10 +347,10 @@ def play(args, state: ppo.TrainState | None = None):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.alg in ("sac", "td3"):
+    if args.alg in ("sac", "td3", "ddpg"):
         if args.play:
-            raise SystemExit("--play is the PPO render loop; for SAC/TD3 "
-                             "use --eval_interval (greedy evaluation) "
+            raise SystemExit("--play is the PPO render loop; for SAC/TD3/"
+                             "DDPG use --eval_interval (greedy evaluation) "
                              "instead")
         train_offpolicy(args)
         return

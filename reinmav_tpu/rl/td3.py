@@ -17,6 +17,14 @@ masks.  TD3-specific pieces (Fujimoto et al. 2018):
   advance every ``policy_delay``-th critic update — inside the compiled
   scan this is an in-graph gate on the update counter, exactly like the
   warmup gate (both branches traced once, no Python control flow).
+
+Classic **DDPG** (Lillicrap et al. 2016) is the degenerate with all
+three tricks off: ``single_critic=True`` (no twin, no min-clipping),
+``policy_noise=0`` (no target smoothing), ``policy_delay=1`` (actor and
+targets move every update) — the ``--alg=ddpg`` preset in ``rl/run.py``.
+With ``single_critic`` the ``q2``/``q2_target`` slots hold ``None``
+(an empty pytree: scan carries, optimizers, and shard specs all skip
+it), so DDPG pays for exactly one critic.
 """
 
 from __future__ import annotations
@@ -59,6 +67,8 @@ class Td3Config(NamedTuple):
     policy_delay: int = 2            # critic updates per actor update
     sample_tile: int = 1             # replay gather granularity (see
                                      # SacConfig.sample_tile)
+    single_critic: bool = False      # True = classic DDPG (q2 is None,
+                                     # Bellman target uses q1 alone)
 
 
 class Td3State(NamedTuple):
@@ -100,11 +110,18 @@ def make_optimizers(cfg: Td3Config):
     )
 
 
+def _qdict(cfg: Td3Config, q1, q2):
+    """Critic param dict: ``q2`` is omitted (not a None entry) under
+    ``single_critic`` so optimizer states and grads never see it."""
+    return {"q1": q1} if cfg.single_critic else {"q1": q1, "q2": q2}
+
+
 def init_state(env: EnvDef, cfg: Td3Config, key: jax.Array) -> Td3State:
     k_a, k_1, k_2, k_env, k_loop = jax.random.split(key, 5)
     actor = _mlp_init(k_a, (env.obs_dim, *cfg.hidden, env.action_dim))
     q1 = _mlp_init(k_1, (env.obs_dim + env.action_dim, *cfg.hidden, 1))
-    q2 = _mlp_init(k_2, (env.obs_dim + env.action_dim, *cfg.hidden, 1))
+    q2 = (None if cfg.single_critic else
+          _mlp_init(k_2, (env.obs_dim + env.action_dim, *cfg.hidden, 1)))
     opt_a, opt_q = make_optimizers(cfg)
     cap = _capacity(cfg, env)
     return Td3State(
@@ -113,7 +130,7 @@ def init_state(env: EnvDef, cfg: Td3Config, key: jax.Array) -> Td3State:
         q1_target=jax.tree.map(jnp.copy, q1),
         q2_target=jax.tree.map(jnp.copy, q2),
         opt_actor=opt_a.init(actor),
-        opt_q=opt_q.init({"q1": q1, "q2": q2}),
+        opt_q=opt_q.init(_qdict(cfg, q1, q2)),
         buffer=jnp.zeros((_row_dims(env), cap), jnp.float32),
         ptr=jnp.zeros((), jnp.int32),
         filled=jnp.zeros((), jnp.int32),
@@ -141,13 +158,17 @@ def critic_loss(q_params, cfg: Td3Config, env: EnvDef, batch_rows,
         -cfg.noise_clip, cfg.noise_clip,
     )
     na = jnp.clip(na + noise, -1.0, 1.0)
-    tq = jnp.minimum(q_value_t(q1t, nobs, na), q_value_t(q2t, nobs, na))
+    tq = q_value_t(q1t, nobs, na)
+    if not cfg.single_critic:  # twin min-clipping (trace-time branch)
+        tq = jnp.minimum(tq, q_value_t(q2t, nobs, na))
     target = jax.lax.stop_gradient(
         rew * cfg.reward_scale + cfg.gamma * (1.0 - done) * tq
     )
     q1v = q_value_t(q_params["q1"], obs, act)
-    q2v = q_value_t(q_params["q2"], obs, act)
-    loss = jnp.mean(jnp.square(q1v - target) + jnp.square(q2v - target))
+    loss = jnp.mean(jnp.square(q1v - target))
+    if not cfg.single_critic:
+        q2v = q_value_t(q_params["q2"], obs, act)
+        loss = loss + jnp.mean(jnp.square(q2v - target))
     return loss, (jnp.mean(q1v), jnp.mean(target))
 
 
@@ -215,13 +236,13 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
                                  cfg.batch_size, tile=tile)
             (qloss, (q_mean, tgt_mean)), qg = jax.value_and_grad(
                 critic_loss, has_aux=True
-            )({"q1": q1, "q2": q2}, cfg, env, rows, (q1t, q2t), k_tgt, at)
+            )(_qdict(cfg, q1, q2), cfg, env, rows, (q1t, q2t), k_tgt, at)
             if axis_name is not None:
                 qg = jax.lax.pmean(qg, axis_name)
             qg = jax.tree.map(lambda g: g * gate, qg)
-            qu, oq = opt_q.update(qg, oq, {"q1": q1, "q2": q2})
-            qp = optax.apply_updates({"q1": q1, "q2": q2}, qu)
-            q1, q2 = qp["q1"], qp["q2"]
+            qu, oq = opt_q.update(qg, oq, _qdict(cfg, q1, q2))
+            qp = optax.apply_updates(_qdict(cfg, q1, q2), qu)
+            q1, q2 = qp["q1"], qp.get("q2")
             upd = upd + ready.astype(jnp.int32)
 
             # Delayed actor + target updates: only on every
@@ -281,9 +302,11 @@ def _shard_specs(cfg: Td3Config):
     from ..parallel.mesh import BATCH_AXIS
 
     rep = P()
+    q2_spec = None if cfg.single_critic else rep  # None = empty pytree,
+    # mirrors the q2=None state slot so in_specs trees line up.
     return Td3State(
-        actor=rep, actor_target=rep, q1=rep, q2=rep, q1_target=rep,
-        q2_target=rep, opt_actor=rep, opt_q=rep,
+        actor=rep, actor_target=rep, q1=rep, q2=q2_spec, q1_target=rep,
+        q2_target=q2_spec, opt_actor=rep, opt_q=rep,
         buffer=P(None, BATCH_AXIS), ptr=rep, filled=rep,
         env_states=P(BATCH_AXIS), key=rep, total_steps=rep, updates=rep,
     )
@@ -293,7 +316,9 @@ def state_shardings(cfg: Td3Config, mesh) -> Td3State:
     from jax.sharding import NamedSharding
 
     return jax.tree.map(
-        lambda spec: NamedSharding(mesh, spec), _shard_specs(cfg),
+        # None = the empty q2 slots under single_critic; stays None.
+        lambda spec: None if spec is None else NamedSharding(mesh, spec),
+        _shard_specs(cfg),
         is_leaf=lambda x: not isinstance(x, (Td3State,)),
     )
 

@@ -142,6 +142,79 @@ def test_shardmap_train_iters():
     assert out.actor[0]["w"].sharding.is_fully_replicated
 
 
+def test_ddpg_single_critic_target_math():
+    """single_critic: the Bellman target uses q1 alone (no min) and the
+    loss carries only q1's MSE; q2 slots are None (empty pytree)."""
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = td3.Td3Config(num_envs=4, buffer_capacity=64, batch_size=4,
+                        hidden=(32, 32), single_critic=True,
+                        policy_noise=0.0, noise_clip=0.0, policy_delay=1,
+                        gamma=0.9)
+    state = td3.init_state(env, cfg, jax.random.PRNGKey(3))
+    assert state.q2 is None and state.q2_target is None
+    d, a = env.obs_dim, env.action_dim
+    rows = jax.random.normal(jax.random.PRNGKey(4), (_row_dims(env), 64))
+    rows = rows.at[2 * d + a + 1].set(
+        (rows[2 * d + a + 1] > 0).astype(jnp.float32))
+    loss, (q_mean, tgt_mean) = td3.critic_loss(
+        {"q1": state.q1}, cfg, env, rows, (state.q1_target, None),
+        jax.random.PRNGKey(5), state.actor_target)
+    nobs = rows[d + a + 1:2 * d + a + 1]
+    na = td3.actor_action_t(state.actor_target, nobs)  # noise=0 -> exact
+    tq = np.asarray(td3.q_value_t(state.q1_target, nobs, na))
+    rew, done = np.asarray(rows[d + a]), np.asarray(rows[2 * d + a + 1])
+    expect = rew + 0.9 * (1 - done) * tq
+    np.testing.assert_allclose(float(tgt_mean), expect.mean(), rtol=1e-5)
+    q1v = np.asarray(td3.q_value_t(state.q1, rows[:d], rows[d:d + a]))
+    np.testing.assert_allclose(float(loss), np.mean((q1v - expect) ** 2),
+                               rtol=1e-5)
+
+
+def test_ddpg_train_iters_runs_and_actor_moves_every_update():
+    """The --alg=ddpg preset (single critic, delay 1): scan carries the
+    None q2 slots, results are deterministic, and one open update moves
+    actor, critic AND targets (no delay gating)."""
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = td3.Td3Config(num_envs=16, buffer_capacity=1024, batch_size=16,
+                        warmup_steps=0, hidden=(32, 32), single_critic=True,
+                        policy_noise=0.0, noise_clip=0.0, policy_delay=1)
+    fn = jax.jit(lambda s: td3.train_iters(env, cfg, s, 1))
+    state = td3.init_state(env, cfg, jax.random.PRNGKey(1))
+    out, met = fn(state)
+    out_b, _ = fn(td3.init_state(env, cfg, jax.random.PRNGKey(1)))
+    for a_, b_ in zip(jax.tree.leaves(out), jax.tree.leaves(out_b)):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+    assert out.q2 is None and out.q2_target is None
+    for group in ("actor", "q1", "actor_target", "q1_target"):
+        moved = any(
+            np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+            for a, b in zip(jax.tree.leaves(getattr(state, group)),
+                            jax.tree.leaves(getattr(out, group)))
+        )
+        assert moved, group
+    for v in jax.tree.leaves(met):
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_ddpg_shardmap_smoke():
+    """single_critic threads through the mesh path: the None q2 spec
+    matches the None state slot on the 8-virtual-device mesh."""
+    from reinmav_tpu.parallel import make_mesh
+
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = td3.Td3Config(num_envs=32, buffer_capacity=2048, batch_size=16,
+                        warmup_steps=64, hidden=(32, 32), single_critic=True,
+                        policy_noise=0.0, noise_clip=0.0, policy_delay=1)
+    mesh = make_mesh()
+    fn = td3.make_train_iters(env, cfg, 6, mesh=mesh)
+    s = jax.device_put(td3.init_state(env, cfg, jax.random.PRNGKey(5)),
+                       td3.state_shardings(cfg, mesh))
+    out, met = fn(s)
+    assert int(out.total_steps) == 32 * 6
+    for v in jax.tree.leaves(met):
+        assert np.isfinite(np.asarray(v)).all()
+
+
 def test_td3_improves_hovering():
     """Learning smoke on MujocoQuadForce-v1 — same episode-length proxy
     as test_sac_improves_hovering (survival is the learnable signal)."""
