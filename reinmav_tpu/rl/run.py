@@ -115,11 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def train_offpolicy(args):
-    """Off-policy training loop (--alg=sac|td3): iterations are single
-    batched env steps + replay-sampled gradient updates, folded
-    ``--updates_per_jit`` at a time into one compiled call."""
-    env = make(args.env)
+def _offpolicy_alg_cfg(args):
+    """Resolve ``--alg=sac|td3|ddpg`` to (module, config).  Shared by
+    the train and play paths (the restore target must mirror the
+    training shapes, so --play rebuilds the same config)."""
     common = dict(
         num_envs=args.num_env,
         buffer_capacity=args.buffer_capacity,
@@ -136,27 +135,34 @@ def train_offpolicy(args):
     if args.alg == "sac":
         from . import sac as alg
 
-        cfg = alg.SacConfig(target_entropy=args.target_entropy, **common)
-    else:
-        from . import td3 as alg
+        return alg, alg.SacConfig(target_entropy=args.target_entropy,
+                                  **common)
+    from . import td3 as alg
 
-        if args.alg == "ddpg":
-            # Classic DDPG = TD3 minus its three additions (rl/td3.py
-            # module docstring); --policy_noise/--policy_delay are TD3
-            # knobs and intentionally not threaded through.
-            cfg = alg.Td3Config(
-                explore_noise=args.explore_noise,
-                policy_noise=0.0, noise_clip=0.0, policy_delay=1,
-                single_critic=True,
-                **common,
-            )
-        else:
-            cfg = alg.Td3Config(
-                explore_noise=args.explore_noise,
-                policy_noise=args.policy_noise,
-                policy_delay=args.policy_delay,
-                **common,
-            )
+    if args.alg == "ddpg":
+        # Classic DDPG = TD3 minus its three additions (rl/td3.py
+        # module docstring); --policy_noise/--policy_delay are TD3
+        # knobs and intentionally not threaded through.
+        return alg, alg.Td3Config(
+            explore_noise=args.explore_noise,
+            policy_noise=0.0, noise_clip=0.0, policy_delay=1,
+            single_critic=True,
+            **common,
+        )
+    return alg, alg.Td3Config(
+        explore_noise=args.explore_noise,
+        policy_noise=args.policy_noise,
+        policy_delay=args.policy_delay,
+        **common,
+    )
+
+
+def train_offpolicy(args):
+    """Off-policy training loop (--alg=sac|td3|ddpg): iterations are
+    single batched env steps + replay-sampled gradient updates, folded
+    ``--updates_per_jit`` at a time into one compiled call."""
+    env = make(args.env)
+    alg, cfg = _offpolicy_alg_cfg(args)
     k = max(1, args.updates_per_jit)
     fn = alg.make_train_iters(env, cfg, k)
     state = alg.init_state(env, cfg, jax.random.PRNGKey(args.seed))
@@ -292,6 +298,26 @@ def train(args) -> ppo.TrainState:
     return state
 
 
+def _greedy_rollout(env, args, greedy_step):
+    """Shared ``--play`` loop: single-env greedy stepping with
+    reset-on-done, returning the stacked obs trajectory.
+    ``greedy_step(state) -> StepOut`` applies the policy and steps."""
+    s = env.reset(jax.random.PRNGKey(args.seed + 1))
+    total_reward, episodes = 0.0, 0
+    states = []
+    for t in range(args.play_steps):
+        out = greedy_step(s)
+        total_reward += float(out.reward)
+        states.append(np.asarray(out.obs))
+        truncated = out.truncated is not None and bool(out.truncated)
+        if bool(out.done) or truncated:  # episode boundary incl. time_limit
+            episodes += 1
+            s = env.reset(jax.random.PRNGKey(args.seed + 3 + t))
+        else:
+            s = out.state
+    return np.stack(states), total_reward, episodes
+
+
 def play(args, state: ppo.TrainState | None = None):
     """Deterministic greedy rollout with the trained policy
     (the ``--play`` loop of ``run.py:190-213``)."""
@@ -308,28 +334,41 @@ def play(args, state: ppo.TrainState | None = None):
             state = ckpt.restore(args.load_path, state)
 
     @jax.jit
-    def greedy_step(params, obs_norm, s, key):
+    def greedy_step(params, obs_norm, s):
         obs = s[: env.obs_dim]
         norm = ppo._normalize(obs, obs_norm)
         mean, _, _ = networks.apply(params, norm)
         out = env.step(s, mean)
         return out
 
-    s = env.reset(jax.random.PRNGKey(args.seed + 1))
-    key = jax.random.PRNGKey(args.seed + 2)
-    total_reward, episodes = 0.0, 0
-    states = []
-    for t in range(args.play_steps):
-        out = greedy_step(state.params, state.obs_norm, s, key)
-        total_reward += float(out.reward)
-        states.append(np.asarray(out.obs))
-        truncated = out.truncated is not None and bool(out.truncated)
-        if bool(out.done) or truncated:  # episode boundary incl. time_limit
-            episodes += 1
-            s = env.reset(jax.random.PRNGKey(args.seed + 3 + t))
-        else:
-            s = out.state
-    states = np.stack(states)
+    states, total_reward, episodes = _greedy_rollout(
+        env, args, lambda s: greedy_step(state.params, state.obs_norm, s))
+    return _emit_play_outputs(env, args, states, total_reward, episodes)
+
+
+def play_offpolicy(args, state=None):
+    """``--play`` for the off-policy algs: noise-free actor rollout
+    with the same reset-on-done loop and GIF/HTML export as the PPO
+    path.  The restore target mirrors the training shapes (the
+    checkpoint carries the replay ring), so pass the same --num_env /
+    --buffer_capacity / net flags as the training run."""
+    env = make(args.env)
+    alg, cfg = _offpolicy_alg_cfg(args)
+    if state is None:
+        state = alg.init_state(env, cfg, jax.random.PRNGKey(args.seed))
+        if args.load_path:
+            state = ckpt.restore(args.load_path, state)
+
+    @jax.jit
+    def greedy_step(actor, s):
+        return env.step(s, alg.greedy_action(env, actor, s[: env.obs_dim]))
+
+    states, total_reward, episodes = _greedy_rollout(
+        env, args, lambda s: greedy_step(state.actor, s))
+    return _emit_play_outputs(env, args, states, total_reward, episodes)
+
+
+def _emit_play_outputs(env, args, states, total_reward, episodes):
     if args.gif:
         from ..render import save_gif
 
@@ -348,11 +387,11 @@ def play(args, state: ppo.TrainState | None = None):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.alg in ("sac", "td3", "ddpg"):
+        state = None
+        if not args.play or args.load_path is None:
+            state = train_offpolicy(args)
         if args.play:
-            raise SystemExit("--play is the PPO render loop; for SAC/TD3/"
-                             "DDPG use --eval_interval (greedy evaluation) "
-                             "instead")
-        train_offpolicy(args)
+            play_offpolicy(args, state)
         return
     state = None
     if not args.play or args.load_path is None:

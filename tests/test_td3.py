@@ -215,6 +215,24 @@ def test_ddpg_shardmap_smoke():
         assert np.isfinite(np.asarray(v)).all()
 
 
+def test_cli_ddpg_train_save_play(tmp_path, capsys):
+    """--alg=ddpg end-to-end through the CLI: train a few iterations,
+    checkpoint, then --play restores and runs the noise-free actor
+    rollout (the off-policy play path)."""
+    from reinmav_tpu.rl import run as rl_run
+
+    save = str(tmp_path / "ddpg_ckpt")
+    shape_flags = ["--env=quadrotor3d-v0", "--num_env=16", "--batch_size=32",
+                   "--warmup_steps=64", "--buffer_capacity=1024",
+                   "--num_hidden=16"]
+    rl_run.main(["--alg=ddpg", "--num_timesteps=512", "--log_interval=1",
+                 f"--save_path={save}", *shape_flags])
+    rl_run.main(["--alg=ddpg", "--play", "--play_steps=50",
+                 f"--load_path={save}", *shape_flags])
+    out = capsys.readouterr().out
+    assert '"play_steps": 50' in out
+
+
 def test_td3_improves_hovering():
     """Learning smoke on MujocoQuadForce-v1 — same episode-length proxy
     as test_sac_improves_hovering (survival is the learnable signal)."""
