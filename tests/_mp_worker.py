@@ -103,23 +103,44 @@ def main():
         for _ in range(2):
             state, metrics = step(state)
         _write_digest(state, metrics, outdir, pid, suffix="_resumed")
+    elif phase == "offpolicy":
+        # Off-policy leg: SAC shard_map across the REAL 2-process mesh —
+        # per-device replay rings fed by each process's env shard (local
+        # batch 8 -> the dense8 collection view), critic/actor/alpha
+        # gradient pmeans crossing the process boundary.
+        from reinmav_tpu.rl import sac
+
+        scfg = sac.SacConfig(num_envs=32, buffer_capacity=2048,
+                             batch_size=16, warmup_steps=64, hidden=(8, 8))
+        make_sac = jax.jit(partial(sac.init_state, env, scfg),
+                           out_shardings=sac.state_shardings(scfg, mesh))
+        sstate = make_sac(jax.random.PRNGKey(11))
+        fn = sac.make_train_iters(env, scfg, 8, mesh=mesh)
+        sstate, smet = fn(sstate)
+        assert int(jax.device_get(sstate.total_steps)) == 32 * 8
+        _write_tree_digest(sstate.actor, smet["q_loss"], outdir, pid,
+                           suffix="_sac")
     else:
         raise SystemExit(f"unknown phase {phase}")
     print(f"proc {pid} OK phase={phase}")
 
 
 def _write_digest(state, metrics, outdir, pid, suffix=""):
+    _write_tree_digest(state.params, metrics["v_loss"], outdir, pid, suffix)
+
+
+def _write_tree_digest(params_tree, metric, outdir, pid, suffix=""):
     # Replicated params must be identical on every process after the
     # cross-process gradient all-reduce.
     flat = np.concatenate([
         np.asarray(jax.device_get(leaf)).ravel()
-        for leaf in jax.tree.leaves(state.params)
+        for leaf in jax.tree.leaves(params_tree)
     ])
     assert np.isfinite(flat).all()
     digest = hashlib.sha256(flat.tobytes()).hexdigest()
     with open(os.path.join(outdir, f"proc{pid}{suffix}.txt"), "w") as f:
         f.write(digest + "\n")
-        f.write(f"{float(jax.device_get(metrics['v_loss'])):.9e}\n")
+        f.write(f"{float(jax.device_get(metric)):.9e}\n")
 
 
 if __name__ == "__main__":

@@ -110,6 +110,17 @@ def test_two_process_checkpoint_restart_resume(tmp_path):
         assert a.read() == b.read()  # resumed == uninterrupted, bitwise
 
 
+def test_two_process_sharded_sac_step(tmp_path):
+    """Off-policy multi-process: SAC shard_map on the real 2-process
+    cluster — per-device replay rings fed by each process's env shard
+    (dense8 collection), gradient pmeans crossing the process boundary.
+    Both processes must end with identical replicated actor params."""
+    _run_cluster("offpolicy", tmp_path)
+    with open(tmp_path / "proc0_sac.txt") as a, \
+         open(tmp_path / "proc1_sac.txt") as b:
+        assert a.read() == b.read()
+
+
 def test_init_explicit_misconfiguration_raises():
     """A deliberately-wrong explicit config must raise, not silently run
     single-process (the round-1 `except: pass` failure mode).  Runs in a
