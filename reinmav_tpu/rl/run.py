@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip", type=float, default=0.2)
     p.add_argument("--num_layers", type=int, default=2)
     p.add_argument("--num_hidden", type=int, default=64)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="matmul input precision for the learner networks "
+                        "(accumulation and params stay float32; bfloat16 "
+                        "halves the hidden-activation HBM traffic — the "
+                        "PPO/SAC/TD3 update phases' bandwidth cost)")
     p.add_argument("--ent_coef", type=float, default=0.0)
     p.add_argument("--log_std_floor", type=float, default=None,
                    help="lower clamp on the policy log-std after each "
@@ -131,6 +137,7 @@ def _offpolicy_alg_cfg(args):
         reward_scale=args.reward_scale,
         sample_tile=args.sample_tile,
         hidden=tuple([args.num_hidden] * args.num_layers),
+        compute_dtype=args.compute_dtype,
     )
     if args.alg == "sac":
         from . import sac as alg
@@ -214,6 +221,7 @@ def train(args) -> ppo.TrainState:
         entropy_coef=args.ent_coef,
         log_std_floor=args.log_std_floor,
         hidden=tuple([args.num_hidden] * args.num_layers),
+        compute_dtype=args.compute_dtype,
     )
     if args.alg == "a2c":
         # On-policy single-pass PG: with exactly one epoch over the fresh

@@ -58,6 +58,11 @@ class SacConfig(NamedTuple):
     warmup_steps: int = 10_000       # total uniform-random env steps
     reward_scale: float = 1.0
     max_grad_norm: float | None = None
+    # "bfloat16": matmul INPUTS cast to bf16 (f32 accumulation, params and
+    # optimizer state stay f32) and the ReLU autodiff residual stored bf16
+    # — the (H, batch) hidden tensors are the update phase's HBM cost,
+    # exactly the PPO recipe (networks.apply_t / _tanh_bf16_residual).
+    compute_dtype: str = "float32"
     # Replay-sampling granularity: draw ``batch_size/sample_tile`` random
     # contiguous column BLOCKS instead of batch_size scattered columns.
     # Scattered single-column gathers from the (R, C) ring read 4-byte
@@ -105,16 +110,93 @@ def _mlp_init(key, dims, dtype=jnp.float32):
     return layers
 
 
-def _mlp_t(layers, x_t):
-    """ReLU MLP on (features, batch); linear final layer."""
-    for i, layer in enumerate(layers):
-        x_t = jax.lax.dot_general(
-            layer["w"], x_t, (((0,), (0,)), ((), ())),
+@jax.custom_vjp
+def _relu_bf16_residual(x):
+    """ReLU whose saved backward residual is bf16 — the (H, batch) hidden
+    tensors are the update phase's HBM cost, and the residual is what
+    autodiff materialises between forward and backward (the SAC/TD3
+    analogue of networks._tanh_bf16_residual; ReLU only needs the sign
+    of the activation, which bf16 preserves exactly for normals)."""
+    return jax.nn.relu(x)
+
+
+def _relu_bf16_fwd(x):
+    h = jax.nn.relu(x)
+    return h, h.astype(jnp.bfloat16)
+
+
+def _relu_bf16_bwd(h16, g):
+    return (g * (h16 > 0).astype(g.dtype),)
+
+
+_relu_bf16_residual.defvjp(_relu_bf16_fwd, _relu_bf16_bwd)
+
+
+def _dot_t(w, x_t, cd):
+    """(din, dout)ᵀ·(din, batch) with optional reduced-precision inputs
+    (f32 accumulation either way)."""
+    if cd is not None:
+        return jax.lax.dot_general(
+            w.astype(cd), x_t.astype(cd), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + layer["b"][:, None]
+        )
+    return jax.lax.dot_general(
+        w, x_t, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _mlp_t(layers, x_t, cd=None):
+    """ReLU MLP on (features, batch); linear final layer.
+
+    ``cd``: optional compute dtype (e.g. ``jnp.bfloat16``) for matmul
+    inputs; accumulation, bias add, and the nonlinearity stay f32."""
+    for i, layer in enumerate(layers):
+        x_t = _dot_t(layer["w"], x_t, cd) + layer["b"][:, None]
         if i < len(layers) - 1:
-            x_t = jax.nn.relu(x_t)
+            x_t = (_relu_bf16_residual(x_t) if cd is not None
+                   else jax.nn.relu(x_t))
     return x_t
+
+
+def twin_mlp_t(la, lb, x_t, cd=None):
+    """BOTH critics on one shared input in one stacked pass -> (ya, yb).
+
+    Two 256-wide MLP chains run back-to-back leave the MXU half-scheduled
+    and double the kernel count inside the update scan; stacking makes
+    layer 0 ONE (din, 2H) matmul and every later layer a (2, H, H)
+    batched matmul — same contractions element-for-element, so the
+    parameter pytrees (and checkpoints) stay the separate q1/q2 trees.
+    """
+    # layer 0: concat output dims — one wide matmul on the shared input.
+    w0 = jnp.concatenate([la[0]["w"], lb[0]["w"]], axis=1)       # (din, 2H)
+    b0 = jnp.concatenate([la[0]["b"], lb[0]["b"]])               # (2H,)
+    h = la[0]["b"].shape[0]
+    x = _dot_t(w0, x_t, cd) + b0[:, None]                        # (2H, B)
+    x = _relu_bf16_residual(x) if cd is not None else jax.nn.relu(x)
+    x = x.reshape(2, h, x.shape[-1])                             # (2, H, B)
+    for i in range(1, len(la)):
+        w = jnp.stack([la[i]["w"], lb[i]["w"]])                  # (2, din, dout)
+        b = jnp.stack([la[i]["b"], lb[i]["b"]])                  # (2, dout)
+        if cd is not None:
+            x = jax.lax.dot_general(
+                w.astype(cd), x.astype(cd), (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) + b[:, :, None]
+        else:
+            x = jax.lax.dot_general(
+                w, x, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) + b[:, :, None]
+        if i < len(la) - 1:
+            x = _relu_bf16_residual(x) if cd is not None else jax.nn.relu(x)
+    return x[0, 0], x[1, 0]                                      # (B,), (B,)
+
+
+def twin_q_value_t(qa, qb, obs_t, act_t, cd=None):
+    """Stacked twin-critic values -> ((batch,), (batch,))."""
+    x = jnp.concatenate([obs_t, act_t], axis=0)
+    return twin_mlp_t(qa, qb, x, cd)
 
 
 def init_sac_params(key, obs_dim: int, action_dim: int, hidden):
@@ -125,20 +207,20 @@ def init_sac_params(key, obs_dim: int, action_dim: int, hidden):
     return actor, q1, q2
 
 
-def actor_dist_t(actor, obs_t, action_dim: int):
+def actor_dist_t(actor, obs_t, action_dim: int, cd=None):
     """-> (mean_t, log_std_t), each (A, batch); log_std clamped to the
     standard SAC range."""
-    out = _mlp_t(actor, obs_t)
+    out = _mlp_t(actor, obs_t, cd)
     mean = out[:action_dim]
     log_std = jnp.clip(out[action_dim:], LOG_STD_MIN, LOG_STD_MAX)
     return mean, log_std
 
 
-def sample_squashed_t(actor, obs_t, key, action_dim: int):
+def sample_squashed_t(actor, obs_t, key, action_dim: int, cd=None):
     """Reparameterised tanh-Gaussian sample -> (action_t in [-1,1],
     log_prob (batch,)).  The squash correction uses the numerically
     stable identity log(1 - tanh(u)^2) = 2(log 2 - u - softplus(-2u))."""
-    mean, log_std = actor_dist_t(actor, obs_t, action_dim)
+    mean, log_std = actor_dist_t(actor, obs_t, action_dim, cd)
     std = jnp.exp(log_std)
     u = mean + std * jax.random.normal(key, mean.shape, jnp.float32)
     a = jnp.tanh(u)
@@ -151,9 +233,9 @@ def sample_squashed_t(actor, obs_t, key, action_dim: int):
     return a, logp_u - squash
 
 
-def q_value_t(q, obs_t, act_t):
-    """Twin-critic helper: -> (batch,) values."""
-    return _mlp_t(q, jnp.concatenate([obs_t, act_t], axis=0))[0]
+def q_value_t(q, obs_t, act_t, cd=None):
+    """Single-critic helper: -> (batch,) values."""
+    return _mlp_t(q, jnp.concatenate([obs_t, act_t], axis=0), cd)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -231,7 +313,7 @@ def buffer_sample(buffer, filled, key, batch: int, tile: int = 1):
 
 
 def critic_loss(q_params, cfg, env, batch_rows, target_q, key, actor,
-                log_alpha):
+                log_alpha, cd=None):
     """MSE of both critics against the soft Bellman target.
 
     ``batch_rows`` is the sampled (R, batch) block (see _row_dims).
@@ -244,25 +326,24 @@ def critic_loss(q_params, cfg, env, batch_rows, target_q, key, actor,
     done = batch_rows[2 * d + a + 1]
 
     q1t, q2t = target_q
-    na, nlogp = sample_squashed_t(actor, nobs, key, a)
-    tq = jnp.minimum(q_value_t(q1t, nobs, na), q_value_t(q2t, nobs, na))
+    na, nlogp = sample_squashed_t(actor, nobs, key, a, cd)
+    tq = jnp.minimum(*twin_q_value_t(q1t, q2t, nobs, na, cd))
     alpha = jnp.exp(log_alpha)
     target = rew * cfg.reward_scale + cfg.gamma * (1.0 - done) * (
         tq - alpha * nlogp
     )
     target = jax.lax.stop_gradient(target)
-    q1v = q_value_t(q_params["q1"], obs, act)
-    q2v = q_value_t(q_params["q2"], obs, act)
+    q1v, q2v = twin_q_value_t(q_params["q1"], q_params["q2"], obs, act, cd)
     loss = jnp.mean(jnp.square(q1v - target) + jnp.square(q2v - target))
     return loss, (jnp.mean(q1v), jnp.mean(target))
 
 
 def actor_alpha_loss(aa_params, cfg, env, batch_rows, q1, q2, key,
-                     target_entropy):
+                     target_entropy, cd=None):
     d, a = env.obs_dim, env.action_dim
     obs = batch_rows[:d]
-    act_s, logp = sample_squashed_t(aa_params["actor"], obs, key, a)
-    qmin = jnp.minimum(q_value_t(q1, obs, act_s), q_value_t(q2, obs, act_s))
+    act_s, logp = sample_squashed_t(aa_params["actor"], obs, key, a, cd)
+    qmin = jnp.minimum(*twin_q_value_t(q1, q2, obs, act_s, cd))
     alpha = jnp.exp(jax.lax.stop_gradient(aa_params["log_alpha"]))
     pi_loss = jnp.mean(alpha * logp - qmin)
     # alpha gradient: d/d log_alpha of -log_alpha*(logp + H*) with logp
@@ -359,6 +440,7 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
         if cfg.target_entropy is None else cfg.target_entropy
     )
     d, a = env.obs_dim, env.action_dim
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     # Local (per-device under shard_map) env batch, from the ARRAY shape.
     b_local = state.env_states.shape[0]
     dense8 = b_local % 8 == 0
@@ -383,7 +465,7 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
         # ---- collect: one auto-reset env step across the batch --------
         states_t = s.env_states.T                      # (D, B)
         obs_t = states_t[:d]
-        a_pol, _ = sample_squashed_t(s.actor, obs_t, k_act, a)
+        a_pol, _ = sample_squashed_t(s.actor, obs_t, k_act, a, cd)
         a_rand = jax.random.uniform(k_rand, a_pol.shape, jnp.float32,
                                     -1.0, 1.0)
         warm = s.total_steps < cfg.warmup_steps
@@ -411,7 +493,7 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
             (qloss, (q_mean, tgt_mean)), qg = jax.value_and_grad(
                 critic_loss, has_aux=True
             )({"q1": q1, "q2": q2}, cfg, env, rows, (q1t, q2t), k_tgt,
-              actor, log_alpha)
+              actor, log_alpha, cd)
             if axis_name is not None:
                 qg = jax.lax.pmean(qg, axis_name)
             qg = jax.tree.map(lambda g: g * gate, qg)
@@ -422,7 +504,7 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
             (ploss, (pi_loss, ent, alpha)), ag = jax.value_and_grad(
                 actor_alpha_loss, has_aux=True
             )({"actor": actor, "log_alpha": log_alpha}, cfg, env, rows,
-              q1, q2, k_pi, target_entropy)
+              q1, q2, k_pi, target_entropy, cd)
             if axis_name is not None:
                 ag = jax.lax.pmean(ag, axis_name)
             agrads = jax.tree.map(lambda g: g * gate, ag["actor"])

@@ -46,6 +46,7 @@ from .sac import (
     _scale_action_t,
     buffer_insert,
     buffer_sample,
+    twin_q_value_t,
 )
 
 
@@ -69,6 +70,9 @@ class Td3Config(NamedTuple):
                                      # SacConfig.sample_tile)
     single_critic: bool = False      # True = classic DDPG (q2 is None,
                                      # Bellman target uses q1 alone)
+    compute_dtype: str = "float32"   # "bfloat16": reduced-precision matmul
+                                     # inputs + bf16 ReLU residuals (see
+                                     # SacConfig.compute_dtype)
 
 
 class Td3State(NamedTuple):
@@ -89,13 +93,13 @@ class Td3State(NamedTuple):
     updates: jnp.ndarray     # int32 critic-update counter (delay gating)
 
 
-def actor_action_t(actor, obs_t):
+def actor_action_t(actor, obs_t, cd=None):
     """Deterministic policy: tanh(MLP(obs)) in [-1, 1], (A, batch)."""
-    return jnp.tanh(_mlp_t(actor, obs_t))
+    return jnp.tanh(_mlp_t(actor, obs_t, cd))
 
 
-def q_value_t(q, obs_t, act_t):
-    return _mlp_t(q, jnp.concatenate([obs_t, act_t], axis=0))[0]
+def q_value_t(q, obs_t, act_t, cd=None):
+    return _mlp_t(q, jnp.concatenate([obs_t, act_t], axis=0), cd)[0]
 
 
 def make_optimizers(cfg: Td3Config):
@@ -142,7 +146,7 @@ def init_state(env: EnvDef, cfg: Td3Config, key: jax.Array) -> Td3State:
 
 
 def critic_loss(q_params, cfg: Td3Config, env: EnvDef, batch_rows,
-                targets, key, actor_target):
+                targets, key, actor_target, cd=None):
     """MSE of both critics against the smoothed Bellman target."""
     d, a = env.obs_dim, env.action_dim
     obs = batch_rows[:d]
@@ -152,30 +156,37 @@ def critic_loss(q_params, cfg: Td3Config, env: EnvDef, batch_rows,
     done = batch_rows[2 * d + a + 1]
 
     q1t, q2t = targets
-    na = actor_action_t(actor_target, nobs)
+    na = actor_action_t(actor_target, nobs, cd)
     noise = jnp.clip(
         cfg.policy_noise * jax.random.normal(key, na.shape, jnp.float32),
         -cfg.noise_clip, cfg.noise_clip,
     )
     na = jnp.clip(na + noise, -1.0, 1.0)
-    tq = q_value_t(q1t, nobs, na)
-    if not cfg.single_critic:  # twin min-clipping (trace-time branch)
-        tq = jnp.minimum(tq, q_value_t(q2t, nobs, na))
-    target = jax.lax.stop_gradient(
-        rew * cfg.reward_scale + cfg.gamma * (1.0 - done) * tq
-    )
-    q1v = q_value_t(q_params["q1"], obs, act)
-    loss = jnp.mean(jnp.square(q1v - target))
-    if not cfg.single_critic:
-        q2v = q_value_t(q_params["q2"], obs, act)
-        loss = loss + jnp.mean(jnp.square(q2v - target))
+    if cfg.single_critic:
+        tq = q_value_t(q1t, nobs, na, cd)
+        target = jax.lax.stop_gradient(
+            rew * cfg.reward_scale + cfg.gamma * (1.0 - done) * tq
+        )
+        q1v = q_value_t(q_params["q1"], obs, act, cd)
+        loss = jnp.mean(jnp.square(q1v - target))
+    else:
+        # Twin critics ride the stacked batched-matmul pass (sac.twin_mlp_t).
+        tq = jnp.minimum(*twin_q_value_t(q1t, q2t, nobs, na, cd))
+        target = jax.lax.stop_gradient(
+            rew * cfg.reward_scale + cfg.gamma * (1.0 - done) * tq
+        )
+        q1v, q2v = twin_q_value_t(q_params["q1"], q_params["q2"],
+                                  obs, act, cd)
+        loss = jnp.mean(jnp.square(q1v - target)) + jnp.mean(
+            jnp.square(q2v - target)
+        )
     return loss, (jnp.mean(q1v), jnp.mean(target))
 
 
-def actor_loss(actor, env: EnvDef, batch_rows, q1):
+def actor_loss(actor, env: EnvDef, batch_rows, q1, cd=None):
     """Deterministic policy gradient: maximise q1 along the actor."""
     obs = batch_rows[:env.obs_dim]
-    return -jnp.mean(q_value_t(q1, obs, actor_action_t(actor, obs)))
+    return -jnp.mean(q_value_t(q1, obs, actor_action_t(actor, obs, cd), cd))
 
 
 def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
@@ -187,6 +198,7 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
     ``shard_map``, gradients/metrics ``pmean``-ed."""
     opt_a, opt_q = make_optimizers(cfg)
     d, a = env.obs_dim, env.action_dim
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     b_local = state.env_states.shape[0]
     dense8 = b_local % 8 == 0
     tile = cfg.sample_tile
@@ -208,7 +220,7 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
         states_t = s.env_states.T
         obs_t = states_t[:d]
         a_pol = jnp.clip(
-            actor_action_t(s.actor, obs_t)
+            actor_action_t(s.actor, obs_t, cd)
             + cfg.explore_noise
             * jax.random.normal(k_noise, (a, obs_t.shape[1]), jnp.float32),
             -1.0, 1.0,
@@ -236,7 +248,7 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
                                  cfg.batch_size, tile=tile)
             (qloss, (q_mean, tgt_mean)), qg = jax.value_and_grad(
                 critic_loss, has_aux=True
-            )(_qdict(cfg, q1, q2), cfg, env, rows, (q1t, q2t), k_tgt, at)
+            )(_qdict(cfg, q1, q2), cfg, env, rows, (q1t, q2t), k_tgt, at, cd)
             if axis_name is not None:
                 qg = jax.lax.pmean(qg, axis_name)
             qg = jax.tree.map(lambda g: g * gate, qg)
@@ -250,7 +262,8 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
             # already incremented, so the first open update has upd=1
             # and the actor moves when upd % delay == 0.
             slow = gate * (upd % cfg.policy_delay == 0).astype(jnp.float32)
-            ploss, ag = jax.value_and_grad(actor_loss)(actor, env, rows, q1)
+            ploss, ag = jax.value_and_grad(actor_loss)(actor, env, rows,
+                                                       q1, cd)
             if axis_name is not None:
                 ag = jax.lax.pmean(ag, axis_name)
             ag = jax.tree.map(lambda g: g * slow, ag)

@@ -129,6 +129,62 @@ def test_critic_target_matches_numpy():
         np.mean((q1v - expect) ** 2 + (q2v - expect) ** 2), rtol=1e-5)
 
 
+def test_twin_q_matches_separate_evals():
+    """twin_q_value_t (stacked batched-matmul pass) == two q_value_t
+    chains: same contractions element-for-element, so f32 agreement is
+    tight."""
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    d, a = env.obs_dim, env.action_dim
+    _, q1, q2 = sac.init_sac_params(jax.random.PRNGKey(11), d, a, (32, 32))
+    obs = jax.random.normal(jax.random.PRNGKey(12), (d, 96))
+    act = jax.random.uniform(jax.random.PRNGKey(13), (a, 96), minval=-1.0)
+    v1, v2 = sac.twin_q_value_t(q1, q2, obs, act)
+    np.testing.assert_allclose(np.asarray(v1),
+                               np.asarray(sac.q_value_t(q1, obs, act)),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v2),
+                               np.asarray(sac.q_value_t(q2, obs, act)),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_bf16_mode_close_to_f32_and_trains():
+    """compute_dtype='bfloat16': losses/grads stay close to the f32 path
+    (bf16 matmul inputs, f32 accumulation — a rounding gap, not a code
+    path divergence) and train_iters runs finite + deterministic."""
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = sac.SacConfig(reward_scale=0.5, gamma=0.9)
+    d, a = env.obs_dim, env.action_dim
+    actor, q1, q2 = sac.init_sac_params(jax.random.PRNGKey(3), d, a, (32, 32))
+    rows = jax.random.normal(jax.random.PRNGKey(4), (sac._row_dims(env), 64))
+    log_alpha = jnp.asarray(0.0, jnp.float32)
+    k = jax.random.PRNGKey(5)
+    args = ({"q1": q1, "q2": q2}, cfg, env, rows, (q1, q2), k, actor,
+            log_alpha)
+    (l32, _), g32 = jax.value_and_grad(sac.critic_loss, has_aux=True)(*args)
+    (l16, _), g16 = jax.value_and_grad(sac.critic_loss, has_aux=True)(
+        *args, jnp.bfloat16)
+    np.testing.assert_allclose(float(l16), float(l32), rtol=0.05)
+    # Norm-based tolerance: bf16 rounding can flip individual ReLU masks
+    # (elementwise grad spikes) but the gradient DIRECTION must agree.
+    for a32, a16 in zip(jax.tree.leaves(g32), jax.tree.leaves(g16)):
+        a32, a16 = np.asarray(a32), np.asarray(a16)
+        assert np.isfinite(a16).all()
+        denom = max(float(np.linalg.norm(a32)), 1e-3)
+        assert float(np.linalg.norm(a16 - a32)) < 0.15 * denom
+
+    cfg = sac.SacConfig(num_envs=16, buffer_capacity=1024, batch_size=64,
+                        warmup_steps=32, hidden=(32, 32),
+                        compute_dtype="bfloat16")
+    fn = jax.jit(lambda s: sac.train_iters(env, cfg, s, 10))
+    s1, m1 = fn(sac.init_state(env, cfg, jax.random.PRNGKey(7)))
+    s2, _ = fn(sac.init_state(env, cfg, jax.random.PRNGKey(7)))
+    for a_, b_ in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+    for v in jax.tree.leaves(m1):
+        assert np.isfinite(np.asarray(v)).all()
+    assert s1.actor[0]["w"].dtype == jnp.float32  # params stay f32
+
+
 def test_train_iters_deterministic():
     env = reinmav_tpu.make("quadrotor3d-v0")
     cfg = sac.SacConfig(num_envs=16, buffer_capacity=1024, batch_size=64,

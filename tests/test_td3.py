@@ -249,7 +249,7 @@ def test_td3_improves_hovering():
     state, m = fn(state)  # includes the 2048-step uniform-random warmup
     first = ep_ret(m)
     tail = []
-    for _ in range(11):
+    for _ in range(13):
         state, m = fn(state)
         tail.append(ep_ret(m))
     last = float(np.mean(tail[-3:]))
