@@ -79,6 +79,29 @@ class EnvDef:
     action_high: float = 10.0
     obs_low: float = -10.0
     obs_high: float = 10.0
+    # Q11 remedy: the reference's declared spaces can contradict its own
+    # dynamics — ``quadrotor3d.py:70`` declares Box(0,10)^4 while its
+    # ``control()`` (``:173-178``) commands NEGATIVE body rates, so a
+    # tanh-squashed actor confined to the declared box physically cannot
+    # rotate both ways and never stabilises (measured: SAC/TD3 plateau at
+    # free-fall returns on quadrotor3d-v0).  These optional per-dimension
+    # tuples give bound-respecting (squashing) learners the DYNAMICALLY
+    # REACHABLE action box; ``None`` broadcasts the declared scalars.
+    # The declared scalars above stay reference-faithful — they are what
+    # the gym adapter exposes as ``action_space``.
+    action_low_phys: Optional[tuple] = None
+    action_high_phys: Optional[tuple] = None
+
+    def physical_action_bounds(self):
+        """(low, high) the squashing learners map tanh outputs onto:
+        per-dim ``(A,)`` float32 arrays when declared, else the scalar
+        gym-space bounds."""
+        if self.action_low_phys is None:
+            return self.action_low, self.action_high
+        import numpy as np
+
+        return (np.asarray(self.action_low_phys, np.float32),
+                np.asarray(self.action_high_phys, np.float32))
 
     # -- single-env conveniences ------------------------------------------
     def step(self, state, action) -> StepOut:

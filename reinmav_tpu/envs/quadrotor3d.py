@@ -111,4 +111,13 @@ def make(params: Params | None = None) -> EnvDef:
         control_fn=control,
         action_low=0.0,
         action_high=10.0,
+        # Q11: the declared Box(0,10)^4 (reference quadrotor3d.py:70)
+        # forbids the negative body rates the dynamics need (the
+        # reference's own control(), :173-178, commands them) — a
+        # squashing actor confined to it cannot stabilise.  Physical box
+        # for SAC/TD3/DDPG: thrust [0, 2·hover] so the tanh-zero init
+        # sits at hover (m·|g| = 9.8), rates symmetric at the declared
+        # magnitude.  step() is unclipped either way (reference :81-83).
+        action_low_phys=(0.0, -10.0, -10.0, -10.0),
+        action_high_phys=(19.6, 10.0, 10.0, 10.0),
     )

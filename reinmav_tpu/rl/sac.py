@@ -355,8 +355,14 @@ def actor_alpha_loss(aa_params, cfg, env, batch_rows, q1, q2, key,
 
 
 def _scale_action_t(env: EnvDef, a_t):
-    """[-1,1] policy space -> env action range."""
-    lo, hi = env.action_low, env.action_high
+    """[-1,1] policy space -> env action range, transposed ``(A, B)``
+    layout.  Uses the env's PHYSICAL per-dim bounds when declared
+    (``EnvDef.action_low_phys`` — the Q11 remedy: quadrotor3d-v0's
+    gym-space box [0,10]^4 forbids the negative body rates its own
+    dynamics/controller require), else the scalar gym-space bounds."""
+    lo, hi = env.physical_action_bounds()
+    if getattr(lo, "ndim", 0):  # per-dim (A,) -> broadcast over columns
+        lo, hi = lo[:, None], hi[:, None]
     return lo + (a_t + 1.0) * (0.5 * (hi - lo))
 
 

@@ -255,3 +255,35 @@ def test_td3_improves_hovering():
     last = float(np.mean(tail[-3:]))
     assert np.isfinite(last)
     assert last > 1.8 * first, (first, tail)
+
+
+def test_physical_action_bounds_quad3d():
+    """Q11 remedy: quadrotor3d-v0 keeps the reference-faithful gym-space
+    Box(0,10)^4 (quadrotor3d.py:70) but gives squashing learners the
+    dynamically reachable per-dim box — thrust [0, 2*hover] (tanh-zero
+    init = hover), body rates symmetric.  Without it a tanh actor can
+    never command the negative rates the reference's own control()
+    uses (quadrotor3d.py:173-178), and SAC/TD3 plateau at free-fall
+    returns."""
+    from reinmav_tpu.rl.sac import _scale_action_t
+
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    lo, hi = env.physical_action_bounds()
+    np.testing.assert_allclose(lo, [0.0, -10.0, -10.0, -10.0])
+    np.testing.assert_allclose(hi, [19.6, 10.0, 10.0, 10.0])
+    # Declared gym-space scalars untouched (adapter parity).
+    assert env.action_low == 0.0 and env.action_high == 10.0
+
+    # tanh extremes hit the physical box; tanh-zero thrust == hover.
+    a = jnp.array([[-1.0, 1.0, 0.0]] * 4)              # (A=4, B=3)
+    scaled = np.asarray(_scale_action_t(env, a))
+    np.testing.assert_allclose(scaled[:, 0], lo, rtol=1e-6)
+    np.testing.assert_allclose(scaled[:, 1], hi, rtol=1e-6)
+    np.testing.assert_allclose(scaled[0, 2], 9.8, rtol=1e-6)
+
+    # Envs without a physical box keep the scalar gym-space mapping.
+    e2 = reinmav_tpu.make("quadrotor2d-v0")
+    lo2, hi2 = e2.physical_action_bounds()
+    assert np.ndim(lo2) == 0 and lo2 == e2.action_low and hi2 == e2.action_high
+    np.testing.assert_allclose(
+        np.asarray(_scale_action_t(e2, jnp.zeros((2, 3)))), 0.0, atol=0)
