@@ -68,67 +68,29 @@ def _mm(a, b, dims, cd):
                                preferred_element_type=jnp.float32)
 
 
-def _kernel(cfg, d, adim, tile, group, cd,
-            perm_ref, data_hbm, stats_ref,
-            w1_ref, b1_ref, w2_ref, b2_ref,
-            wo_ref, bo_ref, ls_ref,
-            dw1_ref, db1_ref, dw2_ref, db2_ref, dwo_ref, dbo_ref,
-            dls_ref, met_ref,
-            data_s, sem):
-    """One batch group: gather ``group`` shuffle-tiles by DMA, forward,
-    per-sample loss grads, backward, and accumulation into the
-    parameter-grad outputs.
+def _tile_loss_grads(cfg, cd, x, act, old_logp, old_value, adv, ret,
+                     w1, b1, w2, b2, woT, bo, ls):
+    """PPO clipped-surrogate loss forward+backward on one VMEM-resident
+    sample block (shared by the per-minibatch kernel below and the
+    full-update kernel in :mod:`pallas_ppo_update`).
 
-    ``perm_ref`` (scalar prefetch, SMEM) holds the shuffle-tile index of
-    every tile in minibatch order; grid step ``i`` assembles tiles
-    ``perm[i*group : (i+1)*group]`` into the (R8, group·tile) VMEM
-    scratch with one async copy per tile straight out of the full
-    stacked batch (``data_hbm``, HBM-resident; see module docstring for
-    the row layout).  Grouping keeps the matmuls ~1024 wide: a
-    one-tile-per-step grid (tile=128) measured 2.5× slower — per-step
-    fixed costs and the (2H, 2H) accumulator read-modify-writes dominate
-    128-wide compute.
-    ``stats_ref`` (1, 2): [adv_shift, adv_inv_scale] for the
-    per-minibatch advantage normalisation (0, 1 when disabled).
-    Metric row: [pg_sum, v_sum, kl_sum, clipfrac_sum].
-    All sums are raw; the caller divides by n.
-    """
-    clip_eps, value_clip, value_coef, ent_coef = (
+    Layouts: ``x`` (D, nt), ``act`` (A, nt), per-sample rows (1, nt);
+    ``w1`` (D, 2H), ``w2`` (2H, 2H), ``woT`` (A+1, 2H) — the output
+    layer TRANSPOSED so both kernels can store it 8-row aligned;
+    ``b1``/``b2`` (1, 2H), ``bo`` (1, A+1), ``ls`` (1, A).
+
+    Returns ``(dw1, db1, dw2, db2, dwoT, dbo, dls, met)`` — raw SUMS
+    over the block (callers scale); ``met`` is a (1, 4) row
+    [pg_sum, v_sum, kl_sum, clipfrac_sum]."""
+    clip_eps, value_clip, value_coef = (
         cfg["clip_eps"], cfg["value_clip_eps"], cfg["value_coef"],
-        cfg["entropy_coef"],
     )
-    i = pl.program_id(0)
-
-    # ---- gather: one DMA per shuffle-tile, then one barrier -------------
-    copies = [
-        pltpu.make_async_copy(
-            data_hbm.at[:, pl.ds(perm_ref[i * group + j] * tile, tile)],
-            data_s.at[:, pl.ds(j * tile, tile)],
-            sem.at[j],
-        )
-        for j in range(group)  # static unroll
-    ]
-    for dma in copies:
-        dma.start()
-    for dma in copies:
-        dma.wait()
-
-    x = data_s[0:d, :]                      # (D, nt) f32
-    act = data_s[d:d + adim, :]             # (A, nt)
-    old_logp = data_s[d + adim:d + adim + 1, :]
-    old_value = data_s[d + adim + 1:d + adim + 2, :]
-    adv = ((data_s[d + adim + 2:d + adim + 3, :] - stats_ref[0, 0])
-           * stats_ref[0, 1])
-    ret = data_s[d + adim + 3:d + adim + 4, :]
-    w1, b1 = w1_ref[:, :], b1_ref[:, :]     # (D, 2H), (1, 2H)
-    w2, b2 = w2_ref[:, :], b2_ref[:, :]     # (2H, 2H), (1, 2H)
-    wo, bo = wo_ref[:, :], bo_ref[:, :]     # (2H, A+1), (1, A+1)
-    ls = ls_ref[0:1, :]                     # (1, A) log_std
+    adim = act.shape[0]
 
     # ---- forward ---------------------------------------------------------
     h1 = jnp.tanh(_mm(w1, x, ((0,), (0,)), cd) + b1.T)      # (2H, nt)
     h2 = jnp.tanh(_mm(w2, h1, ((0,), (0,)), cd) + b2.T)     # (2H, nt)
-    out = _mm(wo, h2, ((0,), (0,)), cd) + bo.T              # (A+1, nt)
+    out = _mm(woT, h2, ((1,), (0,)), cd) + bo.T             # (A+1, nt)
     mean = out[:adim]                                            # (A, nt)
     value = out[adim:adim + 1]                                   # (1, nt)
 
@@ -171,12 +133,12 @@ def _kernel(cfg, d, adim, tile, group, cd,
     dout = jnp.concatenate([dmean, dvalue], axis=0)               # (A+1, nt)
 
     # ---- backward through the MLP ---------------------------------------
-    dh2 = _mm(wo, dout, ((1,), (0,)), cd)                     # (2H, nt)
+    dh2 = _mm(woT, dout, ((0,), (0,)), cd)                    # (2H, nt)
     dpre2 = dh2 * (1.0 - h2 * h2)
     dh1 = _mm(w2, dpre2, ((1,), (0,)), cd)                    # (2H, nt)
     dpre1 = dh1 * (1.0 - h1 * h1)
 
-    dwo = _mm(h2, dout, ((1,), (1,)), cd)                     # (2H, A+1)
+    dwoT = _mm(dout, h2, ((1,), (1,)), cd)                    # (A+1, 2H)
     dbo = jnp.sum(dout, axis=1, keepdims=True).T                  # (1, A+1)
     dw2 = _mm(h1, dpre2, ((1,), (1,)), cd)                    # (2H, 2H)
     db2 = jnp.sum(dpre2, axis=1, keepdims=True).T                 # (1, 2H)
@@ -193,6 +155,65 @@ def _kernel(cfg, d, adim, tile, group, cd,
     kl_sum = jnp.sum(old_logp - logp)
     clip_sum = jnp.sum((jnp.abs(ratio - 1.0) > clip_eps).astype(jnp.float32))
     met = jnp.stack([pg_sum, v_sum, kl_sum, clip_sum]).reshape(1, 4)
+    return dw1, db1, dw2, db2, dwoT, dbo, dls, met
+
+
+def _kernel(cfg, d, adim, tile, group, cd,
+            perm_ref, data_hbm, stats_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref,
+            wo_ref, bo_ref, ls_ref,
+            dw1_ref, db1_ref, dw2_ref, db2_ref, dwo_ref, dbo_ref,
+            dls_ref, met_ref,
+            data_s, sem):
+    """One batch group: gather ``group`` shuffle-tiles by DMA, forward,
+    per-sample loss grads, backward, and accumulation into the
+    parameter-grad outputs.
+
+    ``perm_ref`` (scalar prefetch, SMEM) holds the shuffle-tile index of
+    every tile in minibatch order; grid step ``i`` assembles tiles
+    ``perm[i*group : (i+1)*group]`` into the (R8, group·tile) VMEM
+    scratch with one async copy per tile straight out of the full
+    stacked batch (``data_hbm``, HBM-resident; see module docstring for
+    the row layout).  Grouping keeps the matmuls ~1024 wide: a
+    one-tile-per-step grid (tile=128) measured 2.5× slower — per-step
+    fixed costs and the (2H, 2H) accumulator read-modify-writes dominate
+    128-wide compute.
+    ``stats_ref`` (1, 2): [adv_shift, adv_inv_scale] for the
+    per-minibatch advantage normalisation (0, 1 when disabled).
+    Metric row: [pg_sum, v_sum, kl_sum, clipfrac_sum].
+    All sums are raw; the caller divides by n.
+    ``wo_ref``/``dwo_ref`` hold the output layer TRANSPOSED —
+    (A+1, 2H) — the :func:`_tile_loss_grads` convention.
+    """
+    i = pl.program_id(0)
+
+    # ---- gather: one DMA per shuffle-tile, then one barrier -------------
+    copies = [
+        pltpu.make_async_copy(
+            data_hbm.at[:, pl.ds(perm_ref[i * group + j] * tile, tile)],
+            data_s.at[:, pl.ds(j * tile, tile)],
+            sem.at[j],
+        )
+        for j in range(group)  # static unroll
+    ]
+    for dma in copies:
+        dma.start()
+    for dma in copies:
+        dma.wait()
+
+    x = data_s[0:d, :]                      # (D, nt) f32
+    act = data_s[d:d + adim, :]             # (A, nt)
+    old_logp = data_s[d + adim:d + adim + 1, :]
+    old_value = data_s[d + adim + 1:d + adim + 2, :]
+    adv = ((data_s[d + adim + 2:d + adim + 3, :] - stats_ref[0, 0])
+           * stats_ref[0, 1])
+    ret = data_s[d + adim + 3:d + adim + 4, :]
+
+    dw1, db1, dw2, db2, dwoT, dbo, dls, met = _tile_loss_grads(
+        cfg, cd, x, act, old_logp, old_value, adv, ret,
+        w1_ref[:, :], b1_ref[:, :], w2_ref[:, :], b2_ref[:, :],
+        wo_ref[:, :], bo_ref[:, :], ls_ref[0:1, :],
+    )
 
     # ---- accumulate across grid steps -----------------------------------
     @pl.when(pl.program_id(0) == 0)
@@ -210,7 +231,7 @@ def _kernel(cfg, d, adim, tile, group, cd,
     db1_ref[:, :] += db1
     dw2_ref[:, :] += dw2
     db2_ref[:, :] += db2
-    dwo_ref[:, :] += dwo
+    dwo_ref[:, :] += dwoT
     dbo_ref[:, :] += dbo
     dls_ref[:, :] += dls
     met_ref[:, :] += met
@@ -251,7 +272,7 @@ def _loss_grads_call(data, adv_stats, perm,
             resident((1, h2dim)),
             resident((h2dim, h2dim)),
             resident((1, h2dim)),
-            resident((h2dim, adim + 1)),
+            resident((adim + 1, h2dim)),
             resident((1, adim + 1)),
             resident((1, adim)),
         ],
@@ -264,7 +285,7 @@ def _loss_grads_call(data, adv_stats, perm,
             resident((1, h2dim)),
             resident((h2dim, h2dim)),
             resident((1, h2dim)),
-            resident((h2dim, adim + 1)),
+            resident((adim + 1, h2dim)),
             resident((1, adim + 1)),
             resident((1, adim)),
             resident((1, 4)),
@@ -278,7 +299,7 @@ def _loss_grads_call(data, adv_stats, perm,
             jax.ShapeDtypeStruct((1, h2dim), jnp.float32),
             jax.ShapeDtypeStruct((h2dim, h2dim), jnp.float32),
             jax.ShapeDtypeStruct((1, h2dim), jnp.float32),
-            jax.ShapeDtypeStruct((h2dim, adim + 1), jnp.float32),
+            jax.ShapeDtypeStruct((adim + 1, h2dim), jnp.float32),
             jax.ShapeDtypeStruct((1, adim + 1), jnp.float32),
             jax.ShapeDtypeStruct((1, adim), jnp.float32),
             jax.ShapeDtypeStruct((1, 4), jnp.float32),
@@ -288,16 +309,16 @@ def _loss_grads_call(data, adv_stats, perm,
         ),
     )(perm, data, adv_stats,
       w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
-      wo, bo.reshape(1, -1), log_std.reshape(1, -1))
+      wo.T, bo.reshape(1, -1), log_std.reshape(1, -1))
 
 
 def _finish(outs, n, ent_coef):
-    dw1, db1, dw2, db2, dwo, dbo, dls, met = outs
+    dw1, db1, dw2, db2, dwoT, dbo, dls, met = outs
     inv_n = 1.0 / n
     grads = {
         "w1": dw1 * inv_n, "b1": db1[0] * inv_n,
         "w2": dw2 * inv_n, "b2": db2[0] * inv_n,
-        "wo": dwo * inv_n, "bo": dbo[0] * inv_n,
+        "wo": dwoT.T * inv_n, "bo": dbo[0] * inv_n,
         # entropy term: d(-ent_coef * entropy)/d log_std = -ent_coef
         "log_std": dls[0] * inv_n - ent_coef,
     }

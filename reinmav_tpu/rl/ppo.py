@@ -87,6 +87,15 @@ class PpoConfig(NamedTuple):
     # bf16 mode shifts gradients at bf16 rounding magnitude (pinned by
     # tests/test_pallas_ppo.py::test_fused_loss_grads_bf16_mode).
     fused_loss: str = "auto"
+    # Fused Pallas full-UPDATE kernel (ops/pallas_ppo_update): the whole
+    # epochs x minibatches loop — in-kernel gather, loss fwd/bwd,
+    # clip-by-global-norm and Adam — as ONE launch with the fused MLP
+    # params and Adam moments resident in VMEM throughout.  Rides the
+    # fused-loss path's preconditions (same data layout + tile rules);
+    # "auto" uses it on TPU whenever the fused loss is active and the
+    # update runs single-device (the shard_map path must pmean grads
+    # BETWEEN minibatches, so it keeps the per-minibatch loop).
+    fused_update: str = "auto"
     # Fused Pallas policy+env ROLLOUT kernel (ops/pallas_ppo_rollout):
     # the entire rollout phase — MLP, Gaussian sampling, env physics,
     # auto-reset, normalisation accounting, trajectory writes — as one
@@ -529,6 +538,24 @@ def _fused_loss_enabled(cfg: PpoConfig) -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+def _fused_update_enabled(cfg: PpoConfig) -> bool:
+    """Static dispatch for the one-launch full-update kernel
+    (ops/pallas_ppo_update).  Requires the fused-loss preconditions;
+    train_step additionally requires a single-device update (no
+    axis_name) and a lane-aligned shuffle tile."""
+    if cfg.fused_update == "off":
+        return False
+    if not _fused_loss_enabled(cfg):
+        return False
+    from ..ops import pallas_ppo_update
+
+    if not pallas_ppo_update.available():
+        return False
+    if cfg.fused_update == "on":
+        return True
+    return jax.devices()[0].platform == "tpu"
+
+
 def _unfuse_grads(g, hidden: int, adim: int):
     """Slice fused-stack gradients back into the tower param pytree
     (exact: each tower param IS a block of the fused matrix)."""
@@ -548,10 +575,74 @@ def _unfuse_grads(g, hidden: int, adim: int):
     }
 
 
+def _update_fused(cfg: PpoConfig, d: int, adim: int, params, opt_state,
+                  key, data_full, flat_adv, n_tiles: int, tile: int):
+    """One-launch full update (ops/pallas_ppo_update).
+
+    Precomputes every epoch's tile permutation with the SAME key stream
+    as the XLA epoch scan (so the carried key advances identically),
+    the per-minibatch advantage [shift, inv_scale] from the raw adv
+    row, packs the fused params + Adam moments into the (R, 2H) plane,
+    runs the kernel, and unpacks back into the tower pytree + optax
+    state (count advanced by epochs x minibatches)."""
+    from ..ops import pallas_ppo_update as ppu
+
+    h2 = 2 * cfg.hidden[0]
+    n_passes = cfg.num_epochs * cfg.num_minibatches
+    perms = []
+    k = key
+    for _ in range(cfg.num_epochs):
+        k, k_perm = jax.random.split(k)
+        perms.append(_shuffle_indices(k_perm, n_tiles))
+    perm_all = jnp.concatenate(perms).astype(jnp.int32)
+    if cfg.normalize_advantages:
+        adv_t = flat_adv.reshape(n_tiles, tile)
+        tpm = n_tiles // cfg.num_minibatches
+        rows = []
+        for p in perms:
+            a = adv_t[p.reshape(cfg.num_minibatches, tpm)]
+            rows.append(jnp.stack(
+                [jnp.mean(a, axis=(1, 2)),
+                 1.0 / (jnp.std(a, axis=(1, 2)) + 1e-8)], axis=1))
+        adv_stats = jnp.concatenate(rows)
+    else:
+        adv_stats = jnp.tile(jnp.asarray([[0.0, 1.0]], jnp.float32),
+                             (n_passes, 1))
+
+    def pack(tree):
+        layers, wo, bo = networks.fused_weights(tree)
+        (w1f, b1f), (w2f, b2f) = layers
+        return ppu.pack_plane(w1f, b1f, w2f, b2f, wo, bo,
+                              tree["log_std"], d, adim, h2)
+
+    # optax.chain(clip, adam) state: (EmptyState, (ScaleByAdamState, ...)).
+    adam = opt_state[1][0]
+    pk, mu, nu, metrics = ppu.ppo_update_pallas(
+        data_full, adv_stats, perm_all, adam.count,
+        pack(params), pack(adam.mu), pack(adam.nu),
+        d=d, adim=adim, h2dim=h2, tile=tile,
+        n_minibatches=cfg.num_minibatches, n_epochs=cfg.num_epochs,
+        clip_eps=cfg.clip_eps, value_clip_eps=cfg.value_clip_eps,
+        value_coef=cfg.value_coef, ent_coef=cfg.entropy_coef,
+        lr=cfg.learning_rate, max_grad_norm=cfg.max_grad_norm,
+        log_std_floor=cfg.log_std_floor, compute_dtype=cfg.compute_dtype,
+    )
+
+    def unpack(plane):
+        return _unfuse_grads(ppu.unpack_plane(plane, d, adim, h2),
+                             cfg.hidden[0], adim)
+
+    new_adam = adam._replace(count=adam.count + n_passes,
+                             mu=unpack(mu), nu=unpack(nu))
+    new_opt = (opt_state[0], (new_adam, opt_state[1][1]))
+    return unpack(pk), new_opt, k, metrics
+
+
 def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
                dense8: bool | None = None, fused_loss: bool | None = None,
                axis_name: str | None = None,
-               fused_rollout: bool | None = None):
+               fused_rollout: bool | None = None,
+               fused_update: bool | None = None):
     """One PPO update: rollout → GAE → epochs × minibatches of SGD.
     Pure function of TrainState; jit (optionally with the env-state batch
     sharded over a mesh) at the call site or via :func:`make_train_step`.
@@ -741,9 +832,19 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
         (params, opt_state), metrics = jax.lax.scan(minibatch, (params, opt_state), idxs)
         return (params, opt_state, k), metrics
 
-    (params, opt_state, key), metrics = jax.lax.scan(
-        epoch, (state.params, state.opt_state, key), None, length=cfg.num_epochs
-    )
+    if fused_update is None:
+        fused_update = _fused_update_enabled(cfg)
+    fused_update = fused_update and fused_loss and axis_name is None
+    if fused_update:
+        params, opt_state, key, metrics = _update_fused(
+            cfg, flat.obs.shape[0], env.action_dim, state.params,
+            state.opt_state, key, data_full, flat_adv, n_tiles, tile,
+        )
+    else:
+        (params, opt_state, key), metrics = jax.lax.scan(
+            epoch, (state.params, state.opt_state, key), None,
+            length=cfg.num_epochs,
+        )
 
     obs_norm = (
         _update_obs_norm(state.obs_norm, obs_moments)
