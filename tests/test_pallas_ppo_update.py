@@ -117,3 +117,23 @@ def test_full_update_log_std_floor_and_entropy():
     np.testing.assert_allclose(
         np.asarray(new_state.params["log_std"]),
         np.asarray(ref_state.params["log_std"]), rtol=2e-4, atol=1e-6)
+
+
+def test_full_update_bf16_matches_loop():
+    """compute_dtype=bfloat16: both paths run the SAME bf16 tile math
+    (shared _tile_loss_grads), so the one-launch kernel must track the
+    per-minibatch loop as tightly as in f32 — the bf16 fused_loss-vs-
+    autodiff gap (test_pallas_ppo) does not apply here."""
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = _cfg(compute_dtype="bfloat16", num_epochs=2, num_minibatches=2)
+    state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(2))
+
+    ref_state, _ = _one_update(env, cfg, state, False)
+    new_state, _ = _one_update(env, cfg, state, True)
+
+    for r, nv in zip(jax.tree_util.tree_leaves(ref_state.params),
+                     jax.tree_util.tree_leaves(new_state.params)):
+        # atol covers near-zero bias entries: bf16 grads are coarser, so
+        # Adam's v-hat rescaling amplifies fp-order gaps to ~2e-6 there.
+        np.testing.assert_allclose(np.asarray(nv), np.asarray(r),
+                                   rtol=2e-4, atol=1e-5)
