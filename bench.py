@@ -87,7 +87,32 @@ def bench_ppo(env, key) -> tuple[float, str]:
 
     from reinmav_tpu.rl import ppo
 
-    cfg = ppo.PpoConfig(num_envs=32768, rollout_len=32)
+    # Tripwire for the one-launch fused-update kernel (auto on TPU): a
+    # small real-chip A/B against the per-minibatch loop before letting
+    # it into the headline.  Falls back to the per-minibatch fused-loss
+    # path on any compile error or mismatch (the kernel is pinned by
+    # interpret-mode differential tests, but Mosaic lowering only runs
+    # here).
+    fused_update = "auto"
+    try:
+        small = ppo.PpoConfig(num_envs=4096, rollout_len=32)
+        st0 = ppo.init_train_state(env, small, key)
+        sa, _ = jax.jit(lambda s: ppo.train_step(env, small, s,
+                                                 fused_update=False))(st0)
+        sb, _ = jax.jit(lambda s: ppo.train_step(env, small, s,
+                                                 fused_update=None))(st0)
+        for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-5)
+    except Exception as e:  # pragma: no cover - hardware-only guard
+        import sys
+
+        print(f"# fused_update tripwire failed, benching without: {e!r}"[:300],
+              file=sys.stderr, flush=True)
+        fused_update = "off"
+
+    cfg = ppo.PpoConfig(num_envs=32768, rollout_len=32,
+                        fused_update=fused_update)
     n = cfg.num_envs * cfg.rollout_len
     K = 8
     state = ppo.init_train_state(env, cfg, key)
@@ -101,7 +126,8 @@ def bench_ppo(env, key) -> tuple[float, str]:
         float(np.asarray(s.update_step))
         times.append(time.perf_counter() - t0)
     assert np.isfinite(float(np.asarray(m["v_loss"])))
-    return K * n / min(times), "quad3d-b32768-T32-fusedloss-K8"
+    tag = ("fusedupdate" if ppo._fused_update_enabled(cfg) else "fusedloss")
+    return K * n / min(times), f"quad3d-b32768-T32-{tag}-K8"
 
 
 def bench_sac(key) -> tuple[float, str]:
