@@ -69,10 +69,14 @@ def _mm(a, b, dims, cd):
 
 
 def _tile_loss_grads(cfg, cd, x, act, old_logp, old_value, adv, ret,
-                     w1, b1, w2, b2, woT, bo, ls):
-    """PPO clipped-surrogate loss forward+backward on one VMEM-resident
-    sample block (shared by the per-minibatch kernel below and the
-    full-update kernel in :mod:`pallas_ppo_update`).
+                     w1, b1, w2, b2, woT, bo, ls, kl_beta=None):
+    """PPO loss forward+backward on one VMEM-resident sample block
+    (shared by the per-minibatch kernel below and the full-update
+    kernel in :mod:`pallas_ppo_update`).  Clipped surrogate by default;
+    ``kl_beta`` (traced scalar, not None — a STATIC mode switch) selects
+    the adaptive-KL-penalty surrogate instead (baselines-ppo1 style,
+    matching ``ppo.ppo_loss`` with ``cfg.kl_target`` set):
+    ``-ratio*adv + beta*(old_logp - logp)``.
 
     Layouts: ``x`` (D, nt), ``act`` (A, nt), per-sample rows (1, nt);
     ``w1`` (D, 2H), ``w2`` (2H, 2H), ``woT`` (A+1, 2H) — the output
@@ -102,17 +106,22 @@ def _tile_loss_grads(cfg, cd, x, act, old_logp, old_value, adv, ret,
     logp = (-0.5 * jnp.sum(quad, axis=0, keepdims=True)
             - jnp.sum(ls) - 0.5 * adim * _LOG2PI)                # (1, nt)
     ratio = jnp.exp(logp - old_logp)
-    clipped = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps)
-    pg1 = ratio * adv
-    pg2 = clipped * adv
-    pg_min = jnp.minimum(pg1, pg2)
-    # d pg_min / d ratio with JAX's tie convention (half-half on ties).
-    inside = (jnp.abs(ratio - 1.0) < clip_eps).astype(jnp.float32)
-    sel1 = (pg1 < pg2).astype(jnp.float32)
-    sel2 = (pg2 < pg1).astype(jnp.float32)
-    tie = 1.0 - sel1 - sel2
-    dmin_dratio = adv * (sel1 + sel2 * inside + 0.5 * tie * (1.0 + inside))
-    dlogp = -dmin_dratio * ratio                                  # d(-pg)/dlogp
+    if kl_beta is not None:
+        # KL-penalty surrogate: loss_sum = -sum(ratio*adv)
+        #                                  + beta*sum(old_logp - logp).
+        dlogp = -ratio * adv - kl_beta                            # per sample
+    else:
+        clipped = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps)
+        pg1 = ratio * adv
+        pg2 = clipped * adv
+        pg_min = jnp.minimum(pg1, pg2)
+        # d pg_min / d ratio with JAX's tie convention (half-half on ties).
+        inside = (jnp.abs(ratio - 1.0) < clip_eps).astype(jnp.float32)
+        sel1 = (pg1 < pg2).astype(jnp.float32)
+        sel2 = (pg2 < pg1).astype(jnp.float32)
+        tie = 1.0 - sel1 - sel2
+        dmin_dratio = adv * (sel1 + sel2 * inside + 0.5 * tie * (1.0 + inside))
+        dlogp = -dmin_dratio * ratio                              # d(-pg)/dlogp
 
     # ---- value term ------------------------------------------------------
     vdiff = value - old_value
@@ -150,9 +159,12 @@ def _tile_loss_grads(cfg, cd, x, act, old_logp, old_value, adv, ret,
     dls = jnp.sum(dlogp * (quad - 1.0), axis=1, keepdims=True).T  # (1, A)
 
     # ---- metrics ---------------------------------------------------------
-    pg_sum = -jnp.sum(pg_min)
-    v_sum = 0.5 * jnp.sum(v_max)
     kl_sum = jnp.sum(old_logp - logp)
+    if kl_beta is not None:
+        pg_sum = -jnp.sum(ratio * adv) + kl_beta * kl_sum
+    else:
+        pg_sum = -jnp.sum(pg_min)
+    v_sum = 0.5 * jnp.sum(v_max)
     clip_sum = jnp.sum((jnp.abs(ratio - 1.0) > clip_eps).astype(jnp.float32))
     met = jnp.stack([pg_sum, v_sum, kl_sum, clip_sum]).reshape(1, 4)
     return dw1, db1, dw2, db2, dwoT, dbo, dls, met
@@ -178,8 +190,9 @@ def _kernel(cfg, d, adim, tile, group, cd,
     one-tile-per-step grid (tile=128) measured 2.5× slower — per-step
     fixed costs and the (2H, 2H) accumulator read-modify-writes dominate
     128-wide compute.
-    ``stats_ref`` (1, 2): [adv_shift, adv_inv_scale] for the
-    per-minibatch advantage normalisation (0, 1 when disabled).
+    ``stats_ref`` (1, 4): [adv_shift, adv_inv_scale, kl_beta, 0] — the
+    per-minibatch advantage normalisation (0, 1 when disabled) and the
+    adaptive-KL coefficient (read only when ``cfg["kl_mode"]``).
     Metric row: [pg_sum, v_sum, kl_sum, clipfrac_sum].
     All sums are raw; the caller divides by n.
     ``wo_ref``/``dwo_ref`` hold the output layer TRANSPOSED —
@@ -213,6 +226,7 @@ def _kernel(cfg, d, adim, tile, group, cd,
         cfg, cd, x, act, old_logp, old_value, adv, ret,
         w1_ref[:, :], b1_ref[:, :], w2_ref[:, :], b2_ref[:, :],
         wo_ref[:, :], bo_ref[:, :], ls_ref[0:1, :],
+        kl_beta=(stats_ref[0, 2] if cfg.get("kl_mode") else None),
     )
 
     # ---- accumulate across grid steps -----------------------------------
@@ -267,7 +281,7 @@ def _loss_grads_call(data, adv_stats, perm,
         grid=(m // group,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            resident((1, 2)),
+            resident((1, 4)),
             resident((d, h2dim)),
             resident((1, h2dim)),
             resident((h2dim, h2dim)),
@@ -360,7 +374,8 @@ def ppo_loss_grads_pallas(obs, act, old_logp, old_value, adv, ret,
                           w1, b1, w2, b2, wo, bo, log_std,
                           clip_eps: float, value_clip_eps: float,
                           value_coef: float, ent_coef: float,
-                          tile: int = 1024, compute_dtype: str = "bfloat16"):
+                          tile: int = 1024, compute_dtype: str = "bfloat16",
+                          kl_beta=None):
     """Fused PPO loss gradient over a CONTIGUOUS transposed minibatch.
 
     Inputs: ``obs`` (D, n) f32, ``act`` (A, n), per-sample rows (n,),
@@ -375,7 +390,8 @@ def ppo_loss_grads_pallas(obs, act, old_logp, old_value, adv, ret,
     adim = act.shape[0]
     assert n % tile == 0, (n, tile)
     cfg = dict(clip_eps=clip_eps, value_clip_eps=value_clip_eps,
-               value_coef=value_coef, entropy_coef=ent_coef)
+               value_coef=value_coef, entropy_coef=ent_coef,
+               kl_mode=kl_beta is not None)
     # The kernel is float32 (its production precision); under x64 test
     # configs the inputs may arrive as f64 — cast at the boundary.
     w1, b1, w2, b2 = _f32(w1, b1, w2, b2)
@@ -384,7 +400,11 @@ def ppo_loss_grads_pallas(obs, act, old_logp, old_value, adv, ret,
     data = stack_batch(obs, act, old_logp, old_value, adv, ret)
     m = n // tile
     perm = jnp.arange(m, dtype=jnp.int32)
-    adv_stats = jnp.array([[0.0, 1.0]], jnp.float32)
+    beta_val = 0.0 if kl_beta is None else kl_beta
+    adv_stats = jnp.stack([
+        jnp.asarray(0.0, jnp.float32), jnp.asarray(1.0, jnp.float32),
+        jnp.asarray(beta_val, jnp.float32), jnp.asarray(0.0, jnp.float32),
+    ]).reshape(1, 4)
     outs = _loss_grads_call(data, adv_stats, perm,
                             w1, b1, w2, b2, wo, bo, log_std,
                             cfg, d, adim, tile, compute_dtype, m)
@@ -394,14 +414,16 @@ def ppo_loss_grads_pallas(obs, act, old_logp, old_value, adv, ret,
 @functools.partial(
     jax.jit,
     static_argnames=("d", "adim", "clip_eps", "value_clip_eps",
-                     "value_coef", "ent_coef", "tile", "compute_dtype"),
+                     "value_coef", "ent_coef", "tile", "compute_dtype",
+                     "kl_mode"),
 )
 def ppo_loss_grads_pallas_gather(data, adv_stats, perm,
                                  w1, b1, w2, b2, wo, bo, log_std,
                                  d: int, adim: int,
                                  clip_eps: float, value_clip_eps: float,
                                  value_coef: float, ent_coef: float,
-                                 tile: int, compute_dtype: str = "bfloat16"):
+                                 tile: int, compute_dtype: str = "bfloat16",
+                                 kl_mode: bool = False):
     """Fused gather + PPO loss gradient: the minibatch is DEFINED by
     ``perm`` — int32 (m,) shuffle-tile indices into the FULL flattened
     batch — and never materialised.  ``data`` is the whole rollout in the
@@ -417,7 +439,8 @@ def ppo_loss_grads_pallas_gather(data, adv_stats, perm,
     assert n % tile == 0, (n, tile)
     m = perm.shape[0]
     cfg = dict(clip_eps=clip_eps, value_clip_eps=value_clip_eps,
-               value_coef=value_coef, entropy_coef=ent_coef)
+               value_coef=value_coef, entropy_coef=ent_coef,
+               kl_mode=kl_mode)
     data = data.astype(jnp.float32)
     adv_stats = adv_stats.astype(jnp.float32)
     w1, b1, w2, b2 = _f32(w1, b1, w2, b2)

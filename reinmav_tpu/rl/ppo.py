@@ -525,8 +525,6 @@ def _fused_loss_enabled(cfg: PpoConfig) -> bool:
     jit: checks platform + config shape support)."""
     if cfg.fused_loss == "off":
         return False
-    if cfg.kl_target is not None:  # penalty loss lives on the XLA path
-        return False
     if len(cfg.hidden) != 2 or cfg.hidden[0] != cfg.hidden[1]:
         return False
     from ..ops import pallas_ppo
@@ -544,6 +542,12 @@ def _fused_update_enabled(cfg: PpoConfig) -> bool:
     train_step additionally requires a single-device update (no
     axis_name) and a lane-aligned shuffle tile."""
     if cfg.fused_update == "off":
+        return False
+    if cfg.kl_target is not None:
+        # The adaptive-KL coefficient adapts on the LAST EPOCH's mean KL,
+        # which needs the per-(epoch, minibatch) metric structure the
+        # one-launch kernel folds away; ppo_kl keeps the per-minibatch
+        # loop (still with the fused loss kernel in kl_mode).
         return False
     if not _fused_loss_enabled(cfg):
         return False
@@ -788,8 +792,12 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
                     shift, inv = 0.0, 1.0
                 adv_stats = jnp.stack(
                     [jnp.asarray(shift, jnp.float32),
-                     jnp.asarray(inv, jnp.float32)]
-                ).reshape(1, 2)
+                     jnp.asarray(inv, jnp.float32),
+                     jnp.asarray(
+                         0.0 if cfg.kl_target is None else state.kl_beta,
+                         jnp.float32),
+                     jnp.asarray(0.0, jnp.float32)]
+                ).reshape(1, 4)
                 fl, wo_f, bo_f = networks.fused_weights(params_)
                 (w1f, b1f), (w2f, b2f) = fl
                 g, pmet = pallas_ppo.ppo_loss_grads_pallas_gather(
@@ -799,6 +807,7 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
                     clip_eps=cfg.clip_eps, value_clip_eps=cfg.value_clip_eps,
                     value_coef=cfg.value_coef, ent_coef=cfg.entropy_coef,
                     tile=tile, compute_dtype=cfg.compute_dtype,
+                    kl_mode=cfg.kl_target is not None,
                 )
                 grads = _unfuse_grads(g, cfg.hidden[0], env.action_dim)
                 metrics = {**pmet, "entropy": networks.entropy(params_["log_std"])}

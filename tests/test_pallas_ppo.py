@@ -176,3 +176,79 @@ def test_fused_loss_grads_bf16_mode():
         total_err += float(err)
     assert total_err > 0.0  # the divergence is real — exact identity
     # would mean the bf16 residual path silently stopped being exercised
+
+
+def test_fused_loss_grads_match_autodiff_kl_mode():
+    """kl_mode: the fused kernel's adaptive-KL-penalty surrogate
+    (-ratio*adv + beta*KL, no clipping) matches
+    jax.value_and_grad(ppo_loss with cfg.kl_target set)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    d, a, n = 10, 4, 512
+    cfgnet = networks.MlpConfig(d, a, hidden=(64, 64))
+    params = networks.init_params(jax.random.PRNGKey(4), cfgnet)
+    params["log_std"] = params["log_std"] + 0.1
+    beta = 0.7
+    cfg = ppo.PpoConfig(kl_target=0.01, normalize_advantages=False)
+
+    obs, act, old_logp, old_value, adv, ret = _random_batch(
+        jax.random.PRNGKey(5), d, a, n
+    )
+    batch = ppo.Transition(obs, act, old_logp, old_value, jnp.zeros(n),
+                           jnp.zeros(n, bool))
+    (loss, metrics), grads = jax.value_and_grad(ppo.ppo_loss, has_aux=True)(
+        params, cfg, batch, adv, ret, None, beta
+    )
+
+    layers, wo, bo = networks.fused_weights(params)
+    (w1, b1), (w2, b2) = layers
+    with pltpu.force_tpu_interpret_mode():
+        g, m = pallas_ppo.ppo_loss_grads_pallas(
+            obs, act, old_logp, old_value, adv, ret,
+            w1, b1, w2, b2, wo, bo, params["log_std"],
+            clip_eps=cfg.clip_eps, value_clip_eps=cfg.value_clip_eps,
+            value_coef=cfg.value_coef, ent_coef=cfg.entropy_coef,
+            tile=128, compute_dtype="float32",
+            kl_beta=jnp.asarray(beta, jnp.float32),
+        )
+
+    for name in ("pg_loss", "v_loss", "approx_kl", "clip_frac"):
+        np.testing.assert_allclose(
+            float(m[name]), float(metrics[name]), rtol=2e-4, atol=1e-6,
+            err_msg=name)
+    ref = ppo._unfuse_grads(
+        {k: (v if k in ("log_std",) else v) for k, v in g.items()},
+        64, a)
+    for (path, rg), fg in zip(
+            jax.tree_util.tree_flatten_with_path(grads)[0],
+            jax.tree_util.tree_leaves(ref)):
+        np.testing.assert_allclose(
+            np.asarray(fg), np.asarray(rg), rtol=2e-4, atol=2e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_ppo_kl_train_step_fused_matches_xla():
+    """Full ppo_kl train_step: fused kernel vs the XLA autodiff path —
+    the KL-penalty alg now rides the fused loss too (kl_beta enters the
+    kernel via the stats row)."""
+    import reinmav_tpu
+    from jax.experimental.pallas import tpu as pltpu
+
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = ppo.PpoConfig(num_envs=512, rollout_len=64, kl_target=0.01,
+                        hidden=(64, 64), fused_rollout="off",
+                        shuffle_tile=128)
+    state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(0))
+    with pltpu.force_tpu_interpret_mode():
+        ref, mref = jax.jit(lambda s: ppo.train_step(
+            env, cfg, s, fused_loss=False))(state)
+        new, mnew = jax.jit(lambda s: ppo.train_step(
+            env, cfg, s, fused_loss=True))(state)
+    for (path, r), nv in zip(
+            jax.tree_util.tree_flatten_with_path(ref.params)[0],
+            jax.tree_util.tree_leaves(new.params)):
+        np.testing.assert_allclose(
+            np.asarray(nv), np.asarray(r), rtol=2e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
+    # The adapted coefficient agrees (same measured last-epoch KL).
+    np.testing.assert_allclose(float(new.kl_beta), float(ref.kl_beta))
