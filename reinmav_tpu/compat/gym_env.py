@@ -73,6 +73,11 @@ class GymAdapter(gymnasium.Env if gymnasium else object):
         )
 
     def reset(self, *, seed: Optional[int] = None, options=None):
+        # Gymnasium protocol: seeding must also initialise the Env's
+        # np_random (env_checker asserts `_np_random is not None` after a
+        # seeded reset).  The actual randomness below is JAX-keyed — the
+        # np_random stream exists for API conformance and user access.
+        super().reset(seed=seed)
         # Key ops also pinned to CPU — on a tunnelled TPU even PRNGKey
         # costs a remote compile+dispatch.
         with jax.default_device(self._cpu):

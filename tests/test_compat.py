@@ -233,3 +233,24 @@ class TestVectorAdapter:
             obs, rew, term, trunc, _ = v.step(a)
         np.testing.assert_allclose(obs, np.asarray(states[:, :10], np.float32),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_gymnasium_official_env_checker_all_ids():
+    """gymnasium's own conformance checker (env_checker.check_env) passes
+    for every registered id — seeding protocol (super().reset sets
+    np_random), space containment, reset/step determinism, metadata.
+    Render is covered separately (render tests exercise rgb_array)."""
+    import warnings
+
+    from gymnasium.utils.env_checker import check_env
+
+    import reinmav_tpu
+    from reinmav_tpu.compat import gym_env
+
+    for eid in reinmav_tpu.registered_ids():
+        e = gym_env.make(eid, render_mode="rgb_array")
+        with warnings.catch_warnings():
+            # the declared reference spaces are not normalised ([-1,1]);
+            # the checker warns (style), which is reference parity here.
+            warnings.simplefilter("ignore")
+            check_env(e, skip_render_check=True)
