@@ -158,8 +158,13 @@ def _update_kernel(cfg, d, adim, tile, group, steps_per_mb, n_passes,
 
     Scalar-prefetch refs: ``perm_ref`` int32 (n_passes·tiles_per_mb,) —
     shuffle-tile ids, epoch-concatenated; ``hyper_ref`` f32
-    (1 + 2·n_passes,) = [adam_t0, shift_0, inv_0, shift_1, inv_1, ...].
-    Metric row (1, 8): [pg, v, kl, clipfrac, entropy, 0, 0, 0] raw sums.
+    (2 + 2·n_passes,) = [adam_t0, kl_beta, shift_0, inv_0, shift_1, ...]
+    (``kl_beta`` read only under ``cfg["kl_mode"]`` — the adaptive-KL
+    surrogate, constant across the update like the XLA loop's carried
+    ``state.kl_beta``).
+    Metric row (1, 8): [pg, v, kl, clipfrac, entropy, kl_last_epoch,
+    0, 0] raw sums — lane 5 accumulates KL over the LAST epoch only,
+    feeding the between-updates beta adaptation.
     """
     i = pl.program_id(0)
     s1, r_wo, r_vec = _offsets(d, h2dim)
@@ -191,8 +196,8 @@ def _update_kernel(cfg, d, adim, tile, group, steps_per_mb, n_passes,
     act = data_s[d:d + adim, :]
     old_logp = data_s[d + adim:d + adim + 1, :]
     old_value = data_s[d + adim + 1:d + adim + 2, :]
-    adv = ((data_s[d + adim + 2:d + adim + 3, :] - hyper_ref[1 + 2 * pass_id])
-           * hyper_ref[2 + 2 * pass_id])
+    adv = ((data_s[d + adim + 2:d + adim + 3, :] - hyper_ref[2 + 2 * pass_id])
+           * hyper_ref[3 + 2 * pass_id])
     ret = data_s[d + adim + 3:d + adim + 4, :]
 
     dw1, db1, dw2, db2, dwoT, dbo, dls, met4 = pallas_ppo._tile_loss_grads(
@@ -201,6 +206,7 @@ def _update_kernel(cfg, d, adim, tile, group, steps_per_mb, n_passes,
         pk[s1:s1 + h2dim, :], pk[r_vec + 1:r_vec + 2, :],
         pk[r_wo:r_wo + adim + 1, :], pk[r_vec + 2:r_vec + 3, 0:adim + 1],
         pk[r_vec + 3:r_vec + 4, 0:adim],
+        kl_beta=(hyper_ref[1] if cfg.get("kl_mode") else None),
     )
 
     # ---- accumulate into the packed grad plane (8-aligned stores) --------
@@ -217,8 +223,14 @@ def _update_kernel(cfg, d, adim, tile, group, steps_per_mb, n_passes,
     gk[r_wo:r_wo + 8, :] += rpad(dwoT, 8)
     gk[r_vec:r_vec + 8, :] += jnp.concatenate(
         [db1, db2, lpad(dbo), lpad(dls), jnp.zeros((4, h2dim), jnp.float32)])
-    met_ref[:, :] += jnp.concatenate(
+    # Lane 5: KL restricted to the LAST epoch's passes (for the
+    # between-updates beta adaptation; kl_sum itself sits in lane 2).
+    last_epoch = (pass_id >= n_passes - cfg["n_minibatches"]).astype(
+        jnp.float32)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    met_ref[:, :] += (jnp.concatenate(
         [met4, jnp.zeros((1, 4), jnp.float32)], axis=1)
+        + jnp.where(lane8 == 5, met4[0, 2] * last_epoch, 0.0))
 
     # ---- minibatch boundary: clip-by-global-norm + Adam ------------------
     @pl.when((i + 1) % steps_per_mb == 0)
@@ -275,7 +287,8 @@ def ppo_update_pallas(data, adv_stats, perm, adam_t0, pk, mu, nu,
                       value_coef: float, ent_coef: float,
                       lr: float, max_grad_norm: float,
                       log_std_floor: float | None,
-                      compute_dtype: str = "bfloat16"):
+                      compute_dtype: str = "bfloat16",
+                      kl_beta=None):
     """One full PPO update on the packed parameter plane.
 
     ``data``: (R8, n) stacked batch (``pallas_ppo.stack_batch`` layout,
@@ -305,13 +318,16 @@ def ppo_update_pallas(data, adv_stats, perm, adam_t0, pk, mu, nu,
     cfg = dict(clip_eps=clip_eps, value_clip_eps=value_clip_eps,
                value_coef=value_coef, entropy_coef=ent_coef, lr=lr,
                max_grad_norm=max_grad_norm, adam_b1=0.9, adam_b2=0.999,
-               adam_eps=1e-5, log_std_floor=log_std_floor)
+               adam_eps=1e-5, log_std_floor=log_std_floor,
+               kl_mode=kl_beta is not None, n_minibatches=n_minibatches)
     kernel = functools.partial(
         _update_kernel, cfg, d, adim, tile, group, steps_per_mb, n_passes,
         h2dim, cd)
 
     hyper = jnp.concatenate([
         adam_t0.astype(jnp.float32).reshape(1),
+        jnp.asarray(0.0 if kl_beta is None else kl_beta,
+                    jnp.float32).reshape(1),
         adv_stats.astype(jnp.float32).reshape(-1),
     ])
 
@@ -365,4 +381,8 @@ def ppo_update_pallas(data, adv_stats, perm, adam_t0, pk, mu, nu,
         "clip_frac": met[0, 3] / n_proc,
         "entropy": met[0, 4] / n_passes,
     }
+    if kl_beta is not None:
+        # Lane 5 summed KL over the last epoch's n/1 samples.
+        metrics["approx_kl_last"] = met[0, 5] / (
+            n_minibatches * steps_per_mb * group * tile)
     return pk_o, mu_o, nu_o, metrics

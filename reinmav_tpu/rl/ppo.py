@@ -543,12 +543,6 @@ def _fused_update_enabled(cfg: PpoConfig) -> bool:
     axis_name) and a lane-aligned shuffle tile."""
     if cfg.fused_update == "off":
         return False
-    if cfg.kl_target is not None:
-        # The adaptive-KL coefficient adapts on the LAST EPOCH's mean KL,
-        # which needs the per-(epoch, minibatch) metric structure the
-        # one-launch kernel folds away; ppo_kl keeps the per-minibatch
-        # loop (still with the fused loss kernel in kl_mode).
-        return False
     if not _fused_loss_enabled(cfg):
         return False
     from ..ops import pallas_ppo_update
@@ -580,7 +574,8 @@ def _unfuse_grads(g, hidden: int, adim: int):
 
 
 def _update_fused(cfg: PpoConfig, d: int, adim: int, params, opt_state,
-                  key, data_full, flat_adv, n_tiles: int, tile: int):
+                  key, data_full, flat_adv, n_tiles: int, tile: int,
+                  kl_beta=None):
     """One-launch full update (ops/pallas_ppo_update).
 
     Precomputes every epoch's tile permutation with the SAME key stream
@@ -630,6 +625,7 @@ def _update_fused(cfg: PpoConfig, d: int, adim: int, params, opt_state,
         value_coef=cfg.value_coef, ent_coef=cfg.entropy_coef,
         lr=cfg.learning_rate, max_grad_norm=cfg.max_grad_norm,
         log_std_floor=cfg.log_std_floor, compute_dtype=cfg.compute_dtype,
+        kl_beta=kl_beta,
     )
 
     def unpack(plane):
@@ -848,6 +844,7 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
         params, opt_state, key, metrics = _update_fused(
             cfg, flat.obs.shape[0], env.action_dim, state.params,
             state.opt_state, key, data_full, flat_adv, n_tiles, tile,
+            kl_beta=(None if cfg.kl_target is None else state.kl_beta),
         )
     else:
         (params, opt_state, key), metrics = jax.lax.scan(
@@ -868,7 +865,12 @@ def train_step(env: EnvDef, cfg: PpoConfig, state: TrainState,
     kl_beta = state.kl_beta
     if cfg.kl_target is not None:
         # Adapt on the LAST epoch's measured KL (baselines ppo1 recipe).
-        measured = jnp.mean(metrics["approx_kl"][-1])
+        # The one-launch kernel reports it directly (scalar metrics);
+        # the per-minibatch loop stacks metrics (epochs, minibatches).
+        if fused_update:
+            measured = metrics.pop("approx_kl_last")
+        else:
+            measured = jnp.mean(metrics["approx_kl"][-1])
         kl_beta = jnp.where(measured > 1.5 * cfg.kl_target, kl_beta * 2.0,
                             jnp.where(measured < cfg.kl_target / 1.5,
                                       kl_beta * 0.5, kl_beta))

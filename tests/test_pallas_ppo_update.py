@@ -137,3 +137,27 @@ def test_full_update_bf16_matches_loop():
         # Adam's v-hat rescaling amplifies fp-order gaps to ~2e-6 there.
         np.testing.assert_allclose(np.asarray(nv), np.asarray(r),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_full_update_kl_mode_matches_loop():
+    """ppo_kl through the one-launch kernel: the KL-penalty surrogate
+    runs in-kernel (beta via the hyper row) and the last-epoch KL metric
+    (lane 5) drives the SAME beta adaptation as the per-minibatch loop."""
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    cfg = _cfg(kl_target=0.01, num_epochs=2, num_minibatches=2)
+    state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(5))
+
+    ref_state, ref_m = _one_update(env, cfg, state, False)
+    new_state, new_m = _one_update(env, cfg, state, True)
+
+    for (path, r), nv in zip(
+            jax.tree_util.tree_flatten_with_path(ref_state.params)[0],
+            jax.tree_util.tree_leaves(new_state.params)):
+        np.testing.assert_allclose(
+            np.asarray(nv), np.asarray(r), rtol=2e-4, atol=1e-6,
+            err_msg=f"params {jax.tree_util.keystr(path)}")
+    np.testing.assert_allclose(float(new_state.kl_beta),
+                               float(ref_state.kl_beta))
+    np.testing.assert_allclose(float(new_m["approx_kl"]),
+                               float(np.mean(ref_m["approx_kl"])),
+                               rtol=1e-4, atol=1e-7)
