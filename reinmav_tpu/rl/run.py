@@ -178,7 +178,7 @@ def train_offpolicy(args):
 
     steps_per_call = cfg.num_envs * k
     num_calls = max(1, int(args.num_timesteps) // steps_per_call)
-    logger = MetricsLogger(log_dir=args.log_dir)
+    logger = MetricsLogger(log_dir=args.log_dir, config=vars(args))
     last_t, last_call = time.perf_counter(), 0
     for call in range(1, num_calls + 1):
         state, metrics = fn(state)
@@ -253,7 +253,7 @@ def train(args) -> ppo.TrainState:
 
     steps_per_update = cfg.num_envs * cfg.rollout_len
     num_updates = max(1, int(args.num_timesteps) // steps_per_update)
-    logger = MetricsLogger(log_dir=args.log_dir)
+    logger = MetricsLogger(log_dir=args.log_dir, config=vars(args))
 
     last_t = time.perf_counter()
     last_update = 0

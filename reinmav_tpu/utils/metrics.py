@@ -27,6 +27,7 @@ class MetricsLogger:
         stdout: bool = True,
         jsonl: bool = True,
         csv: bool = False,
+        config: Optional[Mapping[str, object]] = None,
     ):
         self.is_main = jax.process_index() == 0
         self.log_dir = log_dir
@@ -39,6 +40,13 @@ class MetricsLogger:
             os.makedirs(log_dir, exist_ok=True)
             if jsonl:
                 self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+                if config is not None:
+                    # Reproducibility header: the run's full flag dict as
+                    # the first line (committed artifacts previously
+                    # recorded curves but not the config that made them).
+                    self._jsonl.write(json.dumps(
+                        {"config": dict(config)}, default=str) + "\n")
+                    self._jsonl.flush()
             if csv:
                 self._csv = open(os.path.join(log_dir, "metrics.csv"), "a")
 
