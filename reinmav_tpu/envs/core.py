@@ -339,6 +339,72 @@ def control_rollout(env: EnvDef, init_states, key, horizon: int, auto_reset: boo
     return final_t.T, traj
 
 
+def _fused_kernel_registry():
+    """name -> (ops module, step_fn, control_fn|None, reset_fn,
+    default Params): the SINGLE source of truth for which module
+    functions and default parameters each fused Pallas kernel bakes in.
+    Consulted by BOTH :func:`throughput_rollout`'s refusal dispatch and
+    ``rl/ppo._fused_rollout_enabled`` so the two gates cannot drift
+    (previously two hand-maintained elif chains).  ``control_fn`` is
+    None where the kernel does not embed the classical controller
+    (reinmav-v0 bakes its own in-kernel controller; the tpuquad kernels
+    step fixed/zero actions)."""
+    from ..ops import (pallas_reinmav, pallas_rollout, pallas_slungload,
+                       pallas_tpuquad)
+    from . import (quadrotor2d, quadrotor2d_slungload, quadrotor3d,
+                   quadrotor3d_slungload, reinmav13, tpuquad)
+
+    return {
+        "quadrotor3d-v0": (pallas_rollout, quadrotor3d.step,
+                           quadrotor3d.control, quadrotor3d.reset,
+                           quadrotor3d.Params()),
+        "reinmav-v0": (pallas_reinmav, reinmav13.step, None,
+                       reinmav13.reset, reinmav13.Params()),
+        "quadrotor3d-slungload-v0": (
+            pallas_slungload, quadrotor3d_slungload.step,
+            quadrotor3d_slungload.control, quadrotor3d_slungload.reset,
+            quadrotor3d_slungload.Params()),
+        "quadrotor2d-slungload-v0": (
+            pallas_slungload, quadrotor2d_slungload.step,
+            quadrotor2d_slungload.control, quadrotor2d_slungload.reset,
+            quadrotor2d_slungload.Params()),
+        "quadrotor2d-v0": (pallas_rollout, quadrotor2d.step,
+                           quadrotor2d.control, quadrotor2d.reset,
+                           quadrotor2d.Params()),
+        "MujocoQuadForce-v1": (pallas_tpuquad, tpuquad.hovering_step, None,
+                               tpuquad.hovering_reset,
+                               tpuquad.Params(init_z=1.0)),
+        "MujocoQuadForce-v0": (pallas_tpuquad, tpuquad.force_step, None,
+                               tpuquad.force_reset, tpuquad.Params()),
+        "MujocoQuadQuat-v0": (pallas_tpuquad, tpuquad._quat_env_step, None,
+                              tpuquad.quat_reset, tpuquad.QuatParams()),
+    }
+
+
+def fused_kernel_mismatch(env: EnvDef, require_control: bool = True):
+    """Why a fused Pallas kernel would NOT reproduce ``env``'s semantics
+    (None = eligible).  The kernels bake in the registry's module
+    functions AND default params, so a wrapped env (same name, replaced
+    fns) or custom params must be refused, not silently run with
+    default physics.  ``require_control=False`` skips the classical-
+    controller identity check (the PPO fused rollout replaces the
+    controller with the policy)."""
+    entry = _fused_kernel_registry().get(env.name)
+    if entry is None:
+        return f"no fused kernel for {env.name}"
+    ops, step_fn, control_fn, reset_fn, default_params = entry
+    fns_ok = env.step_fn is step_fn and env.reset_fn is reset_fn
+    if require_control and control_fn is not None:
+        fns_ok = fns_ok and env.control_fn is control_fn
+    if not fns_ok:
+        return "env step/control/reset fns are wrapped or replaced"
+    if env.params != default_params:
+        return "non-default params (kernel bakes in defaults)"
+    if not ops.available():
+        return "pallas unavailable on this platform"
+    return None
+
+
 def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str = "auto",
                        dense8: bool | None = None):
     """Maximum-rate closed-loop rollout: returns only (final_states,
@@ -366,99 +432,16 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
 
     def pallas_mismatch() -> str | None:
         """Why the fused kernel would NOT reproduce this env's semantics
-        (None = eligible).  The kernels bake in the module step/control/
-        reset functions AND default params, so a wrapped env (same name,
-        replaced fns) or custom params must be refused, not silently run
-        with default physics."""
-        if env.name == "quadrotor3d-v0":
-            from . import quadrotor3d as mod
-            from ..ops import pallas_rollout as ops
-
-            fns_ok = (
-                env.step_fn is mod.step
-                and env.control_fn is mod.control
-                and env.reset_fn is mod.reset
-            )
-            default_params = mod.Params()
-        elif env.name == "reinmav-v0":
-            from . import reinmav13 as mod
-            from ..ops import pallas_reinmav as ops
-
-            fns_ok = env.step_fn is mod.step and env.reset_fn is mod.reset
-            default_params = mod.Params()
-        elif env.name == "quadrotor3d-slungload-v0":
-            from . import quadrotor3d_slungload as mod
-            from ..ops import pallas_slungload as ops
-
-            fns_ok = (
-                env.step_fn is mod.step
-                and env.control_fn is mod.control
-                and env.reset_fn is mod.reset
-            )
-            default_params = mod.Params()
-        elif env.name == "quadrotor2d-slungload-v0":
-            from . import quadrotor2d_slungload as mod
-            from ..ops import pallas_slungload as ops
-
-            fns_ok = (
-                env.step_fn is mod.step
-                and env.control_fn is mod.control
-                and env.reset_fn is mod.reset
-            )
-            default_params = mod.Params()
-        elif env.name == "MujocoQuadForce-v1":
-            from . import tpuquad as mod
-            from ..ops import pallas_tpuquad as ops
-
-            fns_ok = (
-                env.step_fn is mod.hovering_step
-                and env.reset_fn is mod.hovering_reset
-            )
-            default_params = mod.Params(init_z=1.0)
-        elif env.name == "MujocoQuadForce-v0":
-            from . import tpuquad as mod
-            from ..ops import pallas_tpuquad as ops
-
-            fns_ok = (
-                env.step_fn is mod.force_step and env.reset_fn is mod.force_reset
-            )
-            default_params = mod.Params()
-        elif env.name == "MujocoQuadQuat-v0":
-            from . import tpuquad as mod
-            from ..ops import pallas_tpuquad as ops
-
-            fns_ok = (
-                env.step_fn is mod._quat_env_step
-                and env.reset_fn is mod.quat_reset
-            )
-            default_params = mod.QuatParams()
-        elif env.name == "quadrotor2d-v0":
-            from . import quadrotor2d as mod
-            from ..ops import pallas_rollout as ops
-
-            fns_ok = (
-                env.step_fn is mod.step
-                and env.control_fn is mod.control
-                and env.reset_fn is mod.reset
-            )
-            default_params = mod.Params()
-        else:
-            return f"no fused kernel for {env.name}"
-        if not fns_ok:
-            return "env step/control/reset fns are wrapped or replaced"
-        if env.params != default_params:
-            return "non-default params (kernel bakes in defaults)"
-        if not ops.available():
-            return "pallas unavailable on this platform"
+        (None = eligible) — the shared registry check plus the batch
+        constraint local to this entry point."""
+        reason = fused_kernel_mismatch(env)
+        if reason is not None:
+            return reason
         if init_states.shape[0] % 4096 != 0:
             return f"batch % 4096 != 0 (got {init_states.shape[0]})"
         return None
 
-    _PALLAS_NAMES = (
-        "quadrotor3d-v0", "reinmav-v0", "quadrotor3d-slungload-v0",
-        "quadrotor2d-slungload-v0", "quadrotor2d-v0",
-        "MujocoQuadForce-v1", "MujocoQuadForce-v0", "MujocoQuadQuat-v0",
-    )
+    _PALLAS_NAMES = tuple(_fused_kernel_registry())
     if backend == "auto":
         backend = "scan"
         if (

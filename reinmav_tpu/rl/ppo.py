@@ -420,35 +420,18 @@ def _fused_rollout_enabled(cfg: PpoConfig, env: EnvDef, batch: int) -> bool:
 
     if not pallas_ppo_rollout.available():
         return False
-    if env.name == "MujocoQuadForce-v1":
-        from ..envs import tpuquad as mod
+    # Env eligibility via the SHARED kernel registry (envs/core.py):
+    # step/reset identity + default params, controller identity skipped
+    # (the fused rollout replaces the controller with the policy).  The
+    # reward-free ids (Force-v0/Quat-v0, reinmav-v0) have throughput
+    # kernels but no training workload — not covered here.
+    if env.name not in ("MujocoQuadForce-v1", "quadrotor3d-v0",
+                        "quadrotor2d-v0", "quadrotor2d-slungload-v0",
+                        "quadrotor3d-slungload-v0"):
+        return False
+    from ..envs.core import fused_kernel_mismatch
 
-        ok = (env.step_fn is mod.hovering_step
-              and env.reset_fn is mod.hovering_reset
-              and env.params == mod.Params(init_z=1.0))
-    elif env.name == "quadrotor3d-v0":
-        from ..envs import quadrotor3d as mod
-
-        ok = (env.step_fn is mod.step and env.reset_fn is mod.reset
-              and env.params == mod.Params())
-    elif env.name == "quadrotor2d-v0":
-        from ..envs import quadrotor2d as mod
-
-        ok = (env.step_fn is mod.step and env.reset_fn is mod.reset
-              and env.params == mod.Params())
-    elif env.name == "quadrotor2d-slungload-v0":
-        from ..envs import quadrotor2d_slungload as mod
-
-        ok = (env.step_fn is mod.step and env.reset_fn is mod.reset
-              and env.params == mod.Params())
-    elif env.name == "quadrotor3d-slungload-v0":
-        from ..envs import quadrotor3d_slungload as mod
-
-        ok = (env.step_fn is mod.step and env.reset_fn is mod.reset
-              and env.params == mod.Params())
-    else:
-        ok = False
-    if not ok:
+    if fused_kernel_mismatch(env, require_control=False) is not None:
         return False
     if batch % 8 != 0 or cfg.rollout_len % 2 != 0:
         return False

@@ -478,8 +478,12 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
         a_t = jnp.where(warm, a_rand, a_pol)           # [-1, 1]
         step8 = _autoreset_dense8 if dense8 else EnvDef.autoreset_step_t
         out = step8(env, states_t, _scale_action_t(env, a_t), k_reset)
-        # Post-reset obs lands in the next_obs slot for done columns —
-        # harmless: the Bellman target multiplies it by (1 - done).
+        # autoreset_step_t replaces only .state; out.obs is the TERMINAL
+        # observation (envs/core.py contract), so the stored next_obs row
+        # is always the true successor.  This is load-bearing for
+        # truncated columns (done=0): the Bellman target bootstraps from
+        # this slot, which is only correct because it holds the terminal
+        # obs, not a post-reset one.
         block = jnp.concatenate([
             obs_t, a_t,
             out.reward[None], out.obs[:d], out.done[None].astype(jnp.float32),
@@ -502,8 +506,18 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
               actor, log_alpha, cd)
             if axis_name is not None:
                 qg = jax.lax.pmean(qg, axis_name)
+            # Warmup gating: zero the grads (params stay put) AND keep
+            # the optimiser state un-advanced — otherwise Adam's count
+            # and EMA decay run on zero gradients for every gated
+            # iteration and the first REAL update arrives with a stale
+            # bias correction (count ~40 -> c1 ~ 1 instead of 1-b1, a
+            # ~10x under-scaled first step).  Standard SAC takes no
+            # optimiser steps during warmup.
+            sel = lambda n, o: jax.tree.map(  # noqa: E731
+                lambda a, b: jnp.where(ready, a, b), n, o)
             qg = jax.tree.map(lambda g: g * gate, qg)
-            qu, oq = opt_q.update(qg, oq, {"q1": q1, "q2": q2})
+            qu, oq_new = opt_q.update(qg, oq, {"q1": q1, "q2": q2})
+            oq = sel(oq_new, oq)
             qp = optax.apply_updates({"q1": q1, "q2": q2}, qu)
             q1, q2 = qp["q1"], qp["q2"]
 
@@ -514,9 +528,11 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
             if axis_name is not None:
                 ag = jax.lax.pmean(ag, axis_name)
             agrads = jax.tree.map(lambda g: g * gate, ag["actor"])
-            au, oa = opt_a.update(agrads, oa, actor)
+            au, oa_new = opt_a.update(agrads, oa, actor)
+            oa = sel(oa_new, oa)
             actor = optax.apply_updates(actor, au)
-            alu, oal = opt_al.update(ag["log_alpha"] * gate, oal, log_alpha)
+            alu, oal_new = opt_al.update(ag["log_alpha"] * gate, oal, log_alpha)
+            oal = sel(oal_new, oal)
             log_alpha = optax.apply_updates(log_alpha, alu)
 
             blend = cfg.tau * gate
@@ -534,7 +550,11 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
             one_update, carry0, jax.random.split(k_loop, cfg.grad_steps)
         )
         (actor, q1, q2, q1t, q2t, log_alpha, oa, oq, oal) = carry
-        met = jax.tree.map(jnp.mean, met)
+        # Update-phase metrics are meaningful only when the gate is open
+        # (gated iterations evaluate losses on the zero-filled ring);
+        # mask here, weighted-average across iterations below.
+        met = jax.tree.map(lambda v: jnp.mean(v) * gate, met)
+        met["update_gate"] = gate
         met["mean_reward"] = jnp.mean(out.reward)
         met["done_frac"] = jnp.mean(out.done.astype(jnp.float32))
         met["buffer_filled"] = filled.astype(jnp.float32)
@@ -550,7 +570,20 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
         return new, met
 
     state, metrics = jax.lax.scan(iteration, state, None, length=num_iters)
-    return state, jax.tree.map(jnp.mean, metrics)
+    return state, _finish_metrics(metrics)
+
+
+def _finish_metrics(metrics):
+    """Per-iteration stacked metrics -> scalars: update-phase metrics
+    (masked by their iteration's warmup gate) average over gate-OPEN
+    iterations only; env/collection metrics average over all."""
+    gate = metrics.pop("update_gate")
+    denom = jnp.maximum(jnp.sum(gate), 1.0)
+    ungated = ("mean_reward", "done_frac", "buffer_filled")
+    return {
+        k: (jnp.mean(v) if k in ungated else jnp.sum(v) / denom)
+        for k, v in metrics.items()
+    }
 
 
 def _shard_specs(cfg: SacConfig):

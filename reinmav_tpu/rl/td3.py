@@ -251,8 +251,16 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
             )(_qdict(cfg, q1, q2), cfg, env, rows, (q1t, q2t), k_tgt, at, cd)
             if axis_name is not None:
                 qg = jax.lax.pmean(qg, axis_name)
+            # Gating must freeze the OPTIMISER state too, not just zero
+            # the grads — otherwise Adam's count/EMA advance during
+            # warmup (stale bias correction on the first real update)
+            # and, for the delayed actor below, the moments DECAY by
+            # beta^(policy_delay-1) between real actor steps, which
+            # standard TD3 does not do (its actor optimiser only steps
+            # when the actor does).
             qg = jax.tree.map(lambda g: g * gate, qg)
-            qu, oq = opt_q.update(qg, oq, _qdict(cfg, q1, q2))
+            qu, oq_new = opt_q.update(qg, oq, _qdict(cfg, q1, q2))
+            oq = jax.tree.map(lambda n, o: jnp.where(ready, n, o), oq_new, oq)
             qp = optax.apply_updates(_qdict(cfg, q1, q2), qu)
             q1, q2 = qp["q1"], qp.get("q2")
             upd = upd + ready.astype(jnp.int32)
@@ -267,7 +275,9 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
             if axis_name is not None:
                 ag = jax.lax.pmean(ag, axis_name)
             ag = jax.tree.map(lambda g: g * slow, ag)
-            au, oa = opt_a.update(ag, oa, actor)
+            au, oa_new = opt_a.update(ag, oa, actor)
+            oa = jax.tree.map(lambda n, o: jnp.where(slow > 0.5, n, o),
+                              oa_new, oa)
             actor = optax.apply_updates(actor, au)
 
             blend = cfg.tau * slow
@@ -287,7 +297,10 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
             one_update, carry0, jax.random.split(k_loop, cfg.grad_steps)
         )
         actor, at, q1, q2, q1t, q2t, oa, oq, upd = carry
-        met = jax.tree.map(jnp.mean, met)
+        # Update-phase metrics masked by the warmup gate; weighted-mean
+        # over gate-open iterations in sac._finish_metrics.
+        met = jax.tree.map(lambda v: jnp.mean(v) * gate, met)
+        met["update_gate"] = gate
         met["mean_reward"] = jnp.mean(out.reward)
         met["done_frac"] = jnp.mean(out.done.astype(jnp.float32))
         met["buffer_filled"] = filled.astype(jnp.float32)
@@ -304,7 +317,9 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
         return new, met
 
     state, metrics = jax.lax.scan(iteration, state, None, length=num_iters)
-    return state, jax.tree.map(jnp.mean, metrics)
+    from .sac import _finish_metrics
+
+    return state, _finish_metrics(metrics)
 
 
 def _shard_specs(cfg: Td3Config):
