@@ -86,9 +86,12 @@ def _tile_loss_grads(cfg, cd, x, act, old_logp, old_value, adv, ret,
     Returns ``(dw1, db1, dw2, db2, dwoT, dbo, dls, met)`` — raw SUMS
     over the block (callers scale); ``met`` is a (1, 4) row
     [pg_sum, v_sum, kl_sum, clipfrac_sum]."""
-    clip_eps, value_clip, value_coef = (
-        cfg["clip_eps"], cfg["value_clip_eps"], cfg["value_coef"],
-    )
+    # Scalars as EXPLICIT f32: under an x64 config jnp.clip's python-
+    # float bounds promote the whole expression to f64, which Mosaic has
+    # no cast lowering for (caught by tests/test_tpu_export.py).
+    clip_eps = jnp.float32(cfg["clip_eps"])
+    value_clip = jnp.float32(cfg["value_clip_eps"])
+    value_coef = jnp.float32(cfg["value_coef"])
     adim = act.shape[0]
 
     # ---- forward ---------------------------------------------------------
@@ -198,14 +201,15 @@ def _kernel(cfg, d, adim, tile, group, cd,
     ``wo_ref``/``dwo_ref`` hold the output layer TRANSPOSED —
     (A+1, 2H) — the :func:`_tile_loss_grads` convention.
     """
-    i = pl.program_id(0)
+    i = pl.program_id(0).astype(jnp.int32)  # x64 configs: program_id is i64
 
     # ---- gather: one DMA per shuffle-tile, then one barrier -------------
     copies = [
         pltpu.make_async_copy(
-            data_hbm.at[:, pl.ds(perm_ref[i * group + j] * tile, tile)],
-            data_s.at[:, pl.ds(j * tile, tile)],
-            sem.at[j],
+            data_hbm.at[:, pl.ds(perm_ref[i * jnp.int32(group) + jnp.int32(j)]
+                                 * jnp.int32(tile), tile)],
+            data_s.at[:, pl.ds(jnp.int32(j * tile), tile)],
+            sem.at[jnp.int32(j)],
         )
         for j in range(group)  # static unroll
     ]

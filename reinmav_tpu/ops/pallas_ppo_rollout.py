@@ -115,10 +115,12 @@ def _hover_step_tiles(comp, act):
     envs/tpuquad.py hovering_step (clip for dynamics, RAW action in the
     reward — the reference quirk)."""
     a0, a1, a2, a3 = act
-    c0 = jnp.clip(a0, 0.0, 1.0)
-    c1 = jnp.clip(a1, 0.0, 1.0)
-    c2 = jnp.clip(a2, 0.0, 1.0)
-    c3 = jnp.clip(a3, 0.0, 1.0)
+    one = jnp.float32(1.0)  # f32 bounds: x64 configs promote python
+    zero = jnp.float32(0.0)  # floats through f64, which Mosaic can't cast
+    c0 = jnp.clip(a0, zero, one)
+    c1 = jnp.clip(a1, zero, one)
+    c2 = jnp.clip(a2, zero, one)
+    c3 = jnp.clip(a3, zero, one)
     total = c0 + c1 + c2 + c3
     mx = ptq._ARM * (c0 - c1 - c2 + c3)       # motor_y = (+,-,-,+)
     my = -ptq._ARM * (c0 + c1 - c2 - c3)      # motor_x = (+,+,-,-)
@@ -181,7 +183,7 @@ def _quad3d_step_tiles(comp, act):
     pn2 = npx * npx + npy * npy + npz * npz
     vn2 = nvx * nvx + nvy * nvy + nvz * nvz
     done = (pn2 > _Q3_POS_LIM**2) | (vn2 > _Q3_VEL_LIM**2)
-    reward = jnp.where(done, 1.0, -jnp.sqrt(pn2))
+    reward = jnp.where(done, jnp.float32(1.0), -jnp.sqrt(pn2))
     new = [npx, npy, npz, nqw, nqx, nqy, nqz, nvx, nvy, nvz]
     return new, reward, done
 
@@ -218,7 +220,7 @@ def _quad2d_step_tiles(comp, act):
     pn = jnp.sqrt(nx * nx + nz * nz)
     vn = jnp.sqrt(nvx * nvx + nvz * nvz)
     done = (pn > _Q2_POS_LIM) | (vn > _Q2_VEL_LIM)
-    reward = jnp.where(done, 1.0, -pn)
+    reward = jnp.where(done, jnp.float32(1.0), -pn)
     return [nx, nz, nth, nvx, nvz], reward, done
 
 
@@ -252,7 +254,7 @@ def _slung2d_step_tiles(comp, act):
     tx = lx - x
     tz = lz - z
     tn = jnp.sqrt(tx * tx + tz * tz)
-    inv = 1.0 / jnp.where(tn > 0.0, tn, 1.0)
+    inv = 1.0 / jnp.where(tn > 0.0, tn, jnp.float32(1.0))
     ux = tx * inv
     uz = tz * inv
     taut = tn >= _S2_L
@@ -280,7 +282,7 @@ def _slung2d_step_tiles(comp, act):
     dx = lpx_t - px_t
     dz = lpz_t - pz_t
     dn = jnp.sqrt(dx * dx + dz * dz)
-    dinv = 1.0 / jnp.where(dn > 0.0, dn, 1.0)
+    dinv = 1.0 / jnp.where(dn > 0.0, dn, jnp.float32(1.0))
     ddx = dx * dinv
     ddz = dz * dinv
     lpx_t = px_t + ddx * _S2_L
@@ -314,7 +316,8 @@ def _slung2d_step_tiles(comp, act):
     lpn = jnp.sqrt(nlpx * nlpx + nlpz * nlpz)
     lvn = jnp.sqrt(nlvx * nlvx + nlvz * nlvz)
     done = (lpn > _S2_POS_LIM) | (lvn > _S2_VEL_LIM)
-    reward = jnp.where(done, 1.0, -jnp.sqrt(npx * npx + npz * npz))
+    reward = jnp.where(done, jnp.float32(1.0),
+                       -jnp.sqrt(npx * npx + npz * npz))
     return [npx, npz, nth, nvx, nvz, nlpx, nlpz, nlvx, nlvz], reward, done
 
 
@@ -356,7 +359,7 @@ def _slung3d_step_tiles(comp, act):
     ty = lpy - py
     tz = lpz - pz
     tn = jnp.sqrt(tx * tx + ty * ty + tz * tz)
-    tinv = 1.0 / jnp.where(tn > 0.0, tn, 1.0)
+    tinv = 1.0 / jnp.where(tn > 0.0, tn, jnp.float32(1.0))
     ux = tx * tinv
     uy = ty * tinv
     uz = tz * tinv
@@ -392,7 +395,7 @@ def _slung3d_step_tiles(comp, act):
     dy = lpy_t - py_t
     dz = lpz_t - pz_t
     dn = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-    dinv = 1.0 / jnp.where(dn > 0.0, dn, 1.0)
+    dinv = 1.0 / jnp.where(dn > 0.0, dn, jnp.float32(1.0))
     ddx = dx * dinv
     ddy = dy * dinv
     ddz = dz * dinv
@@ -445,7 +448,7 @@ def _slung3d_step_tiles(comp, act):
     lpn = jnp.sqrt(nlpx * nlpx + nlpy * nlpy + nlpz * nlpz)
     vn = jnp.sqrt(nvx * nvx + nvy * nvy + nvz * nvz)
     done = (lpn > _S3_POS_LIM) | (vn > _S3_VEL_LIM)
-    reward = jnp.where(done, 1.0, -lpn)
+    reward = jnp.where(done, jnp.float32(1.0), -lpn)
     new = [npx, npy, npz, nqw, nqx, nqy, nqz, nvx, nvy, nvz,
            nlpx, nlpy, nlpz, nlvx, nlvy, nlvz]
     return new, reward, done
@@ -518,7 +521,8 @@ def _kernel(env_kind, t_chunk, cd, normalize_obs, normalize_rewards,
                 new_stats.append(rows(stats, i) + comp[i])
                 new_stats.append(rows(stats, d + i) + comp[i] * comp[i])
                 no = (comp[i] - consts_ref[mean_off + i]) * consts_ref[invstd_off + i]
-                norm_obs.append(jnp.clip(no, -10.0, 10.0))
+                norm_obs.append(jnp.clip(no, jnp.float32(-10.0),
+                                         jnp.float32(10.0)))
             else:
                 new_stats.append(rows(stats, i))
                 new_stats.append(rows(stats, d + i))
@@ -559,7 +563,8 @@ def _kernel(env_kind, t_chunk, cd, normalize_obs, normalize_rewards,
             ret = ret * gamma + raw_reward
             ret_sum = rows(stats, 2 * d) + ret
             ret_sq = rows(stats, 2 * d + 1) + ret * ret
-            reward = jnp.clip(raw_reward * inv_ret_std, -10.0, 10.0)
+            reward = jnp.clip(raw_reward * inv_ret_std,
+                              jnp.float32(-10.0), jnp.float32(10.0))
             ret = ret * (1.0 - done_f)
         else:
             ret_sum = rows(stats, 2 * d)

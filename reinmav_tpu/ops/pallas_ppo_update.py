@@ -166,7 +166,7 @@ def _update_kernel(cfg, d, adim, tile, group, steps_per_mb, n_passes,
     0, 0] raw sums — lane 5 accumulates KL over the LAST epoch only,
     feeding the between-updates beta adaptation.
     """
-    i = pl.program_id(0)
+    i = pl.program_id(0).astype(jnp.int32)  # x64 configs: program_id is i64
     s1, r_wo, r_vec = _offsets(d, h2dim)
 
     @pl.when(i == 0)
@@ -180,9 +180,10 @@ def _update_kernel(cfg, d, adim, tile, group, steps_per_mb, n_passes,
     # ---- gather this group's shuffle-tiles (pallas_ppo._kernel pattern) --
     copies = [
         pltpu.make_async_copy(
-            data_hbm.at[:, pl.ds(perm_ref[i * group + j] * tile, tile)],
-            data_s.at[:, pl.ds(j * tile, tile)],
-            sem.at[j],
+            data_hbm.at[:, pl.ds(perm_ref[i * jnp.int32(group) + jnp.int32(j)]
+                                 * jnp.int32(tile), tile)],
+            data_s.at[:, pl.ds(jnp.int32(j * tile), tile)],
+            sem.at[jnp.int32(j)],
         )
         for j in range(group)  # static unroll
     ]
@@ -191,7 +192,11 @@ def _update_kernel(cfg, d, adim, tile, group, steps_per_mb, n_passes,
     for dma in copies:
         dma.wait()
 
-    pass_id = i // steps_per_mb
+    # Index math stays EXPLICITLY int32: under an x64 config a plain
+    # `i // python_int` promotes through int64 and Mosaic's
+    # convert_element_type lowering recurses forever (caught by the
+    # cross-platform export test).
+    pass_id = jax.lax.div(i, jnp.int32(steps_per_mb))
     x = data_s[0:d, :]
     act = data_s[d:d + adim, :]
     old_logp = data_s[d + adim:d + adim + 1, :]
@@ -230,39 +235,48 @@ def _update_kernel(cfg, d, adim, tile, group, steps_per_mb, n_passes,
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
     met_ref[:, :] += (jnp.concatenate(
         [met4, jnp.zeros((1, 4), jnp.float32)], axis=1)
-        + jnp.where(lane8 == 5, met4[0, 2] * last_epoch, 0.0))
+        + jnp.where(lane8 == 5, met4[0, 2] * last_epoch,
+                    jnp.float32(0.0)))
 
     # ---- minibatch boundary: clip-by-global-norm + Adam ------------------
-    @pl.when((i + 1) % steps_per_mb == 0)
+    @pl.when(jax.lax.rem(i + jnp.int32(1), jnp.int32(steps_per_mb))
+             == jnp.int32(0))
     def _optimise():
         mask, ls_mask = _structure_masks(d, adim, h2dim)
-        inv_nmb = 1.0 / (steps_per_mb * group * tile)
+        # Scalar hyperparameters as EXPLICIT f32 — under an x64 config
+        # python floats promote jnp.where/clip expressions to f64, which
+        # Mosaic has no cast lowering for (tests/test_tpu_export.py).
+        inv_nmb = jnp.float32(1.0 / (steps_per_mb * group * tile))
         g = gk[:, :] * (mask * inv_nmb)
         # entropy gradient: -ent_coef per log_std dim (pallas_ppo._finish)
-        g = g - cfg["entropy_coef"] * ls_mask
+        g = g - jnp.float32(cfg["entropy_coef"]) * ls_mask
         # optax.clip_by_global_norm: (g / gnorm) * max_norm when over
         gnorm = jnp.sqrt(jnp.sum(g * g))
-        c = cfg["max_grad_norm"]
+        c = jnp.float32(cfg["max_grad_norm"])
         g = jnp.where(gnorm < c, g, (g / gnorm) * c)
         # entropy metric from the PRE-update log_std
         ent = (jnp.sum(pk[r_vec + 3:r_vec + 4, 0:adim])
-               + 0.5 * adim * _LOG2PIE)
+               + jnp.float32(0.5 * adim * _LOG2PIE))
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-        met_ref[:, :] += jnp.where(lane == 4, ent, 0.0)
+        met_ref[:, :] += jnp.where(lane == 4, ent, jnp.float32(0.0))
         # optax.scale_by_adam(eps=1e-5, eps_root=0) + scale(-lr)
-        b1c, b2c = cfg["adam_b1"], cfg["adam_b2"]
-        t = hyper_ref[0] + (pass_id + 1).astype(jnp.float32)
-        c1 = 1.0 - jnp.exp(t * float(np.log(b1c)))
-        c2 = 1.0 - jnp.exp(t * float(np.log(b2c)))
+        b1c = jnp.float32(cfg["adam_b1"])
+        b2c = jnp.float32(cfg["adam_b2"])
+        t = hyper_ref[0] + (pass_id + jnp.int32(1)).astype(jnp.float32)
+        c1 = 1.0 - jnp.exp(t * jnp.float32(np.log(cfg["adam_b1"])))
+        c2 = 1.0 - jnp.exp(t * jnp.float32(np.log(cfg["adam_b2"])))
         m_new = (1.0 - b1c) * g + b1c * mu[:, :]
         v_new = (1.0 - b2c) * (g * g) + b2c * nu[:, :]
         mu[:, :] = m_new
         nu[:, :] = v_new
-        upd = (m_new / c1) / (jnp.sqrt(v_new / c2) + cfg["adam_eps"])
-        pnew = pk[:, :] - cfg["lr"] * upd
+        upd = (m_new / c1) / (jnp.sqrt(v_new / c2)
+                              + jnp.float32(cfg["adam_eps"]))
+        pnew = pk[:, :] - jnp.float32(cfg["lr"]) * upd
         if cfg["log_std_floor"] is not None:
             pnew = jnp.where(ls_mask > 0.5,
-                             jnp.maximum(pnew, cfg["log_std_floor"]), pnew)
+                             jnp.maximum(pnew,
+                                         jnp.float32(cfg["log_std_floor"])),
+                             pnew)
         pk[:, :] = pnew
         gk[:, :] = jnp.zeros_like(gk)
 

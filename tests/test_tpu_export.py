@@ -1,0 +1,67 @@
+"""Cross-platform TPU lowering checks: `jax.export(..., platforms=["tpu"])`
+runs the pallas->Mosaic lowering pipeline on the CPU host, so kernels
+added without TPU access in hand still get their Mosaic lowering
+validated (unsupported primitives, scalar-prefetch structure, block
+specs all fail HERE rather than at first on-device compile).  The
+Mosaic->TPU backend compile itself still only runs on hardware — this
+is a lowering gate, not an execution gate."""
+
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+# Cross-platform export lowers the WHOLE train step (rollout scan +
+# kernel) through several extra interpreter layers; under the suite's
+# x64 config that overflows CPython's default 1000-frame limit.
+sys.setrecursionlimit(20000)
+
+import reinmav_tpu
+from reinmav_tpu.rl import ppo
+
+try:
+    from jax import export as jax_export
+except ImportError:  # pragma: no cover
+    jax_export = None
+
+pytestmark = pytest.mark.skipif(jax_export is None,
+                                reason="jax.export unavailable")
+
+
+def _export_train_step(cfg):
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(0))
+    fn = jax.jit(lambda s: ppo.train_step(
+        env, cfg, s, fused_loss=True,
+        fused_update=(cfg.fused_update == "on")))
+    exp = jax_export.export(fn, platforms=["tpu"])(state)
+    assert len(exp.mlir_module_serialized) > 0
+
+
+def test_fused_update_step_lowers_for_tpu():
+    _export_train_step(ppo.PpoConfig(
+        num_envs=1024, rollout_len=32, hidden=(64, 64), shuffle_tile=128,
+        fused_loss="on", fused_update="on", fused_rollout="off"))
+
+
+def test_fused_update_kl_mode_lowers_for_tpu():
+    _export_train_step(ppo.PpoConfig(
+        num_envs=1024, rollout_len=32, hidden=(64, 64), shuffle_tile=128,
+        kl_target=0.01, fused_loss="on", fused_update="off",
+        fused_rollout="off"))
+
+
+def test_fused_update_bf16_lowers_for_tpu():
+    _export_train_step(ppo.PpoConfig(
+        num_envs=1024, rollout_len=32, hidden=(64, 64), shuffle_tile=128,
+        compute_dtype="bfloat16", fused_loss="on", fused_update="on",
+        fused_rollout="off"))
+
+
+def test_fused_rollout_plus_update_lowers_for_tpu():
+    """The full fast path — fused policy+env rollout kernel feeding the
+    one-launch update kernel — lowers for TPU in one program."""
+    _export_train_step(ppo.PpoConfig(
+        num_envs=2048, rollout_len=32, hidden=(64, 64), shuffle_tile=128,
+        fused_loss="on", fused_update="on", fused_rollout="on"))
