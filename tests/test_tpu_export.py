@@ -65,3 +65,22 @@ def test_fused_rollout_plus_update_lowers_for_tpu():
     _export_train_step(ppo.PpoConfig(
         num_envs=2048, rollout_len=32, hidden=(64, 64), shuffle_tile=128,
         fused_loss="on", fused_update="on", fused_rollout="on"))
+
+
+def test_throughput_kernels_lower_for_tpu_all_ids():
+    """Every env id's fused throughput-rollout kernel lowers for TPU
+    (production f32 semantics — x64 disabled for the trace, matching
+    how these kernels actually run on hardware)."""
+    import jax.numpy as jnp
+
+    from reinmav_tpu.envs.core import throughput_rollout
+
+    with jax.enable_x64(False):
+        for eid in reinmav_tpu.registered_ids():
+            env = reinmav_tpu.make(eid)
+            states = jnp.zeros((4096, env.state_dim), jnp.float32)
+            fn = jax.jit(lambda s, k, env=env: throughput_rollout(
+                env, s, k, horizon=8, backend="pallas"))
+            exp = jax_export.export(fn, platforms=["tpu"])(
+                states, jax.random.PRNGKey(0))
+            assert len(exp.mlir_module_serialized) > 0, eid
