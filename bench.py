@@ -144,8 +144,34 @@ def bench_sac(key) -> tuple[float, str]:
     # shuffle-tile caveat, live).  Honest uniform sampling is the
     # benchmark; the knob exists for desynchronised workloads.
     env = reinmav_tpu.make("MujocoQuadForce-v1")
+
+    # Tripwire for the one-launch SAC update kernel (ops/pallas_sac_update,
+    # default off — interpret-pinned but first Mosaic-executed here): a
+    # small real-chip A/B against the one_update scan before letting it
+    # into the headline config.
+    fused_update = "auto"
+    try:
+        small = sac.SacConfig(num_envs=1024, batch_size=1024,
+                              buffer_capacity=1 << 15, warmup_steps=0)
+        st0 = sac.init_state(env, small, key)
+        sa, _ = jax.jit(lambda s: sac.train_iters(
+            env, small._replace(fused_update="off"), s, 4))(st0)
+        sb, _ = jax.jit(lambda s: sac.train_iters(
+            env, small._replace(fused_update="auto"), s, 4))(st0)
+        for a, b in zip(jax.tree.leaves((sa.actor, sa.q1, sa.q2)),
+                        jax.tree.leaves((sb.actor, sb.q1, sb.q2))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-5)
+    except Exception as e:  # pragma: no cover - hardware-only guard
+        import sys
+
+        print(f"# sac fused_update tripwire failed, benching without: {e!r}"[:300],
+              file=sys.stderr, flush=True)
+        fused_update = "off"
+
     cfg = sac.SacConfig(num_envs=65536, batch_size=8192,
-                        buffer_capacity=1 << 21, warmup_steps=0)
+                        buffer_capacity=1 << 21, warmup_steps=0,
+                        fused_update=fused_update)
     # K=128 folds per dispatch: per-iteration compute is ~0.8 ms, so the
     # tunnel's ~25 ms dispatch floor dominates at small K (measured 41M
     # at K=32, 56M at K=64, 67M at K=128).
@@ -161,7 +187,9 @@ def bench_sac(key) -> tuple[float, str]:
         float(np.asarray(state.total_steps))
         times.append(time.perf_counter() - t0)
     assert np.isfinite(float(np.asarray(m["q_loss"])))
-    return K * cfg.num_envs / min(times), "hover-b65536-batch8192-dense8-K128"
+    tag = ("fusedupdate" if sac._fused_update_enabled(cfg) else "scan")
+    return (K * cfg.num_envs / min(times),
+            f"hover-b65536-batch8192-dense8-{tag}-K128")
 
 
 def main():

@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple
 
+import math
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -63,6 +65,15 @@ class SacConfig(NamedTuple):
     # — the (H, batch) hidden tensors are the update phase's HBM cost,
     # exactly the PPO recipe (networks.apply_t / _tanh_bf16_residual).
     compute_dtype: str = "float32"
+    # One-launch fused update phase (ops/pallas_sac_update): all
+    # grad_steps updates — twin-critic, actor, alpha, polyak, three
+    # Adams — as ONE Pallas kernel with the five MLPs + moments resident
+    # in packed VMEM planes.  "off" (default — UNMEASURED on TPU as of
+    # r3; bench.py tripwires it on), "auto" = on-TPU single-device,
+    # "on" forces (tests/interpret).  Requires equal 2-layer hidden,
+    # max_grad_norm=None, single device (the shard_map path must pmean
+    # between updates).
+    fused_update: str = "off"
     # Replay-sampling granularity: draw ``batch_size/sample_tile`` random
     # contiguous column BLOCKS instead of batch_size scattered columns.
     # Scattered single-column gathers from the (R, C) ring read 4-byte
@@ -212,25 +223,42 @@ def actor_dist_t(actor, obs_t, action_dim: int, cd=None):
     standard SAC range."""
     out = _mlp_t(actor, obs_t, cd)
     mean = out[:action_dim]
-    log_std = jnp.clip(out[action_dim:], LOG_STD_MIN, LOG_STD_MAX)
+    # f32 clip bounds: python-float bounds promote through f64 under an
+    # x64 config, which Mosaic cannot cast when this runs inside the
+    # fused-update kernel (tests/test_tpu_export.py).
+    log_std = jnp.clip(out[action_dim:], jnp.float32(LOG_STD_MIN),
+                       jnp.float32(LOG_STD_MAX))
     return mean, log_std
 
 
-def sample_squashed_t(actor, obs_t, key, action_dim: int, cd=None):
-    """Reparameterised tanh-Gaussian sample -> (action_t in [-1,1],
-    log_prob (batch,)).  The squash correction uses the numerically
-    stable identity log(1 - tanh(u)^2) = 2(log 2 - u - softplus(-2u))."""
+def sample_squashed_eps_t(actor, obs_t, eps, action_dim: int, cd=None):
+    """Reparameterised tanh-Gaussian sample from PRECOMPUTED standard-
+    normal draws ``eps`` (A, batch) -> (action_t in [-1,1], log_prob
+    (batch,)).  The squash correction uses the numerically stable
+    identity log(1 - tanh(u)^2) = 2(log 2 - u - softplus(-2u)).
+    Separated from the key-based wrapper so the fused-update kernel
+    (ops/pallas_sac_update) can reuse the exact loss math with eps
+    passed in as data rows (the key stream stays bitwise-identical —
+    the wrapper draws with the same shape/key)."""
     mean, log_std = actor_dist_t(actor, obs_t, action_dim, cd)
     std = jnp.exp(log_std)
-    u = mean + std * jax.random.normal(key, mean.shape, jnp.float32)
+    u = mean + std * eps
     a = jnp.tanh(u)
     logp_u = jnp.sum(
         -0.5 * jnp.square((u - mean) / std) - log_std
-        - 0.5 * jnp.log(2.0 * jnp.pi),
+        - 0.5 * math.log(2.0 * math.pi),
         axis=0,
     )
-    squash = jnp.sum(2.0 * (jnp.log(2.0) - u - jax.nn.softplus(-2.0 * u)), axis=0)
+    squash = jnp.sum(
+        2.0 * (math.log(2.0) - u - jax.nn.softplus(-2.0 * u)), axis=0)
     return a, logp_u - squash
+
+
+def sample_squashed_t(actor, obs_t, key, action_dim: int, cd=None):
+    """Key-based wrapper of :func:`sample_squashed_eps_t`."""
+    shape = (action_dim,) + obs_t.shape[1:]
+    eps = jax.random.normal(key, shape, jnp.float32)
+    return sample_squashed_eps_t(actor, obs_t, eps, action_dim, cd)
 
 
 def q_value_t(q, obs_t, act_t, cd=None):
@@ -312,9 +340,12 @@ def buffer_sample(buffer, filled, key, batch: int, tile: int = 1):
 # ---------------------------------------------------------------------------
 
 
-def critic_loss(q_params, cfg, env, batch_rows, target_q, key, actor,
-                log_alpha, cd=None):
-    """MSE of both critics against the soft Bellman target.
+def _critic_loss_eps(q_params, cfg, env, batch_rows, target_q, eps, actor,
+                     log_alpha, cd=None):
+    """MSE of both critics against the soft Bellman target, with the
+    target-action Gaussian draw passed in as ``eps`` (A, batch) — the
+    core shared by the XLA path (key wrapper below) and the fused-update
+    kernel (ops/pallas_sac_update), which carries eps as data rows.
 
     ``batch_rows`` is the sampled (R, batch) block (see _row_dims).
     """
@@ -326,7 +357,7 @@ def critic_loss(q_params, cfg, env, batch_rows, target_q, key, actor,
     done = batch_rows[2 * d + a + 1]
 
     q1t, q2t = target_q
-    na, nlogp = sample_squashed_t(actor, nobs, key, a, cd)
+    na, nlogp = sample_squashed_eps_t(actor, nobs, eps, a, cd)
     tq = jnp.minimum(*twin_q_value_t(q1t, q2t, nobs, na, cd))
     alpha = jnp.exp(log_alpha)
     target = rew * cfg.reward_scale + cfg.gamma * (1.0 - done) * (
@@ -338,11 +369,23 @@ def critic_loss(q_params, cfg, env, batch_rows, target_q, key, actor,
     return loss, (jnp.mean(q1v), jnp.mean(target))
 
 
-def actor_alpha_loss(aa_params, cfg, env, batch_rows, q1, q2, key,
-                     target_entropy, cd=None):
+def critic_loss(q_params, cfg, env, batch_rows, target_q, key, actor,
+                log_alpha, cd=None):
+    """Key-based wrapper of :func:`_critic_loss_eps` (same draw shape
+    and key as ``sample_squashed_t`` would use)."""
+    a = env.action_dim
+    eps = jax.random.normal(key, (a,) + batch_rows.shape[1:], jnp.float32)
+    return _critic_loss_eps(q_params, cfg, env, batch_rows, target_q, eps,
+                            actor, log_alpha, cd)
+
+
+def _actor_alpha_loss_eps(aa_params, cfg, env, batch_rows, q1, q2, eps,
+                          target_entropy, cd=None):
+    """Actor + temperature loss with the resample draw passed in as
+    ``eps`` (A, batch) — core shared with the fused-update kernel."""
     d, a = env.obs_dim, env.action_dim
     obs = batch_rows[:d]
-    act_s, logp = sample_squashed_t(aa_params["actor"], obs, key, a, cd)
+    act_s, logp = sample_squashed_eps_t(aa_params["actor"], obs, eps, a, cd)
     qmin = jnp.minimum(*twin_q_value_t(q1, q2, obs, act_s, cd))
     alpha = jnp.exp(jax.lax.stop_gradient(aa_params["log_alpha"]))
     pi_loss = jnp.mean(alpha * logp - qmin)
@@ -352,6 +395,15 @@ def actor_alpha_loss(aa_params, cfg, env, batch_rows, q1, q2, key,
         jax.lax.stop_gradient(logp) + target_entropy
     )
     return pi_loss + a_loss, (pi_loss, -jnp.mean(logp), alpha)
+
+
+def actor_alpha_loss(aa_params, cfg, env, batch_rows, q1, q2, key,
+                     target_entropy, cd=None):
+    """Key-based wrapper of :func:`_actor_alpha_loss_eps`."""
+    a = env.action_dim
+    eps = jax.random.normal(key, (a,) + batch_rows.shape[1:], jnp.float32)
+    return _actor_alpha_loss_eps(aa_params, cfg, env, batch_rows, q1, q2,
+                                 eps, target_entropy, cd)
 
 
 def _scale_action_t(env: EnvDef, a_t):
@@ -401,6 +453,23 @@ def make_optimizers(cfg: SacConfig):
     )
 
 
+def _fused_update_enabled(cfg: SacConfig) -> bool:
+    """Static dispatch for the one-launch SAC update kernel."""
+    if cfg.fused_update == "off":
+        return False
+    if len(cfg.hidden) != 2 or cfg.hidden[0] != cfg.hidden[1]:
+        return False
+    if cfg.max_grad_norm is not None:  # in-kernel optimiser is plain adam
+        return False
+    from ..ops import pallas_sac_update as psu
+
+    if not psu.available():
+        return False
+    if cfg.fused_update == "on":
+        return True
+    return jax.devices()[0].platform == "tpu"
+
+
 def init_state(env: EnvDef, cfg: SacConfig, key: jax.Array) -> SacState:
     k_params, k_env, k_loop = jax.random.split(key, 3)
     actor, q1, q2 = init_sac_params(k_params, env.obs_dim, env.action_dim,
@@ -425,6 +494,112 @@ def init_state(env: EnvDef, cfg: SacConfig, key: jax.Array) -> SacState:
     )
 
 
+def _fused_iteration_updates(cfg: SacConfig, env: EnvDef, s: SacState,
+                             buffer, filled, gate, k_loop, tile,
+                             target_entropy):
+    """One iteration's ``grad_steps`` updates through the one-launch
+    Pallas kernel (ops/pallas_sac_update).
+
+    Mirrors the ``one_update`` scan exactly: per step the SAME key
+    splits drive the replay sample and the two Gaussian draws (passed to
+    the kernel as data rows), the critic Adam runs before the
+    actor/alpha step reads the critics, and the warmup gate freezes
+    params/moments/targets.  The three optax Adam states round-trip
+    through packed planes; their counts advance only on open gates."""
+    from ..ops import pallas_sac_update as psu
+
+    d, a = env.obs_dim, env.action_dim
+    lanes = cfg.hidden[0]
+    adims = (d, *cfg.hidden, 2 * a)
+    qdims = (d + a, *cfg.hidden, 1)
+    cd = None  # plane packing is f32; cd applies inside the loss math
+
+    keys = jax.random.split(k_loop, cfg.grad_steps)
+    blocks = []
+    for gsi in range(cfg.grad_steps):  # static unroll (grad_steps small)
+        k_s, k_tgt, k_pi = jax.random.split(keys[gsi], 3)
+        rws = buffer_sample(buffer, jnp.maximum(filled, 1), k_s,
+                            cfg.batch_size, tile=tile).astype(jnp.float32)
+        eps_t = jax.random.normal(k_tgt, (a, cfg.batch_size), jnp.float32)
+        eps_pi = jax.random.normal(k_pi, (a, cfg.batch_size), jnp.float32)
+        blocks.append(jnp.concatenate([rws, eps_t, eps_pi]))
+    data = jnp.concatenate(blocks, axis=1)
+    r8 = -(-data.shape[0] // 8) * 8
+    if r8 != data.shape[0]:
+        data = jnp.concatenate(
+            [data, jnp.zeros((r8 - data.shape[0], data.shape[1]),
+                             jnp.float32)])
+
+    def misc_row(scalar):
+        return jnp.zeros((8, lanes), jnp.float32).at[0, 0].set(scalar)
+
+    p_plane = jnp.concatenate([
+        psu.pack_mlp(s.actor, adims, lanes),
+        psu.pack_mlp(s.q1, qdims, lanes),
+        psu.pack_mlp(s.q2, qdims, lanes),
+        psu.pack_mlp(s.q1_target, qdims, lanes),
+        psu.pack_mlp(s.q2_target, qdims, lanes),
+        misc_row(s.log_alpha),
+    ])
+    # optax.adam state = (ScaleByAdamState, EmptyState).
+    ad_a, ad_q, ad_al = s.opt_actor[0], s.opt_q[0], s.opt_alpha[0]
+
+    def moments_plane(actor_m, q_m, alpha_m):
+        return jnp.concatenate([
+            psu.pack_mlp(actor_m, adims, lanes),
+            psu.pack_mlp(q_m["q1"], qdims, lanes),
+            psu.pack_mlp(q_m["q2"], qdims, lanes),
+            misc_row(alpha_m),
+        ])
+
+    m_plane = moments_plane(ad_a.mu, ad_q.mu, ad_al.mu)
+    n_plane = moments_plane(ad_a.nu, ad_q.nu, ad_al.nu)
+
+    p_o, m_o, n_o, met8 = psu.sac_update_pallas(
+        cfg, env, data, p_plane, m_plane, n_plane, ad_q.count, gate,
+        target_entropy)
+
+    p_offs, _ = psu.plane_offsets(adims, qdims, with_targets=True)
+    g_offs, _ = psu.plane_offsets(adims, qdims, with_targets=False)
+
+    def net(plane, offs, name, dims):
+        o = offs[name]
+        return psu.unpack_mlp(plane[o:o + psu.mlp_rows(dims)], dims, lanes)
+
+    actor = net(p_o, p_offs, "actor", adims)
+    q1 = net(p_o, p_offs, "q1", qdims)
+    q2 = net(p_o, p_offs, "q2", qdims)
+    q1t = net(p_o, p_offs, "q1t", qdims)
+    q2t = net(p_o, p_offs, "q2t", qdims)
+    log_alpha = p_o[p_offs["misc"], 0]
+
+    cnt = (ad_q.count
+           + cfg.grad_steps * (gate > 0.5).astype(ad_q.count.dtype))
+
+    def rebuild(opt_state, adam, mu, nu):
+        return (adam._replace(count=cnt, mu=mu, nu=nu),) + tuple(
+            opt_state[1:])
+
+    oa = rebuild(s.opt_actor, ad_a,
+                 net(m_o, g_offs, "actor", adims),
+                 net(n_o, g_offs, "actor", adims))
+    oq = rebuild(s.opt_q, ad_q,
+                 {"q1": net(m_o, g_offs, "q1", qdims),
+                  "q2": net(m_o, g_offs, "q2", qdims)},
+                 {"q1": net(n_o, g_offs, "q1", qdims),
+                  "q2": net(n_o, g_offs, "q2", qdims)})
+    oal = rebuild(s.opt_alpha, ad_al,
+                  m_o[g_offs["misc"], 0], n_o[g_offs["misc"], 0])
+
+    inv_gs = 1.0 / cfg.grad_steps
+    met = {
+        "q_loss": met8[0, 0] * inv_gs, "q_mean": met8[0, 1] * inv_gs,
+        "target_mean": met8[0, 2] * inv_gs, "pi_loss": met8[0, 3] * inv_gs,
+        "entropy": met8[0, 4] * inv_gs, "alpha": met8[0, 5] * inv_gs,
+    }
+    return (actor, q1, q2, q1t, q2t, log_alpha, oa, oq, oal), met
+
+
 def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
                 num_iters: int, axis_name: str | None = None):
     """Run ``num_iters`` SAC iterations (each: one batched env step +
@@ -447,6 +622,7 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
     )
     d, a = env.obs_dim, env.action_dim
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    fused_upd = _fused_update_enabled(cfg) and axis_name is None
     # Local (per-device under shard_map) env batch, from the ARRAY shape.
     b_local = state.env_states.shape[0]
     dense8 = b_local % 8 == 0
@@ -544,12 +720,18 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
                    "alpha": alpha, "q_mean": q_mean, "target_mean": tgt_mean}
             return (actor, q1, q2, q1t, q2t, log_alpha, oa, oq, oal), met
 
-        carry0 = (s.actor, s.q1, s.q2, s.q1_target, s.q2_target,
-                  s.log_alpha, s.opt_actor, s.opt_q, s.opt_alpha)
-        carry, met = jax.lax.scan(
-            one_update, carry0, jax.random.split(k_loop, cfg.grad_steps)
-        )
-        (actor, q1, q2, q1t, q2t, log_alpha, oa, oq, oal) = carry
+        if fused_upd:
+            (actor, q1, q2, q1t, q2t, log_alpha, oa, oq, oal), met = (
+                _fused_iteration_updates(
+                    cfg, env, s, buffer, filled, gate, k_loop, tile,
+                    target_entropy))
+        else:
+            carry0 = (s.actor, s.q1, s.q2, s.q1_target, s.q2_target,
+                      s.log_alpha, s.opt_actor, s.opt_q, s.opt_alpha)
+            carry, met = jax.lax.scan(
+                one_update, carry0, jax.random.split(k_loop, cfg.grad_steps)
+            )
+            (actor, q1, q2, q1t, q2t, log_alpha, oa, oq, oal) = carry
         # Update-phase metrics are meaningful only when the gate is open
         # (gated iterations evaluate losses on the zero-filled ring);
         # mask here, weighted-average across iterations below.
