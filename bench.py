@@ -187,7 +187,7 @@ def bench_sac(key) -> tuple[float, str]:
         float(np.asarray(state.total_steps))
         times.append(time.perf_counter() - t0)
     assert np.isfinite(float(np.asarray(m["q_loss"])))
-    tag = ("fusedupdate" if sac._fused_update_enabled(cfg) else "scan")
+    tag = ("fusedupdate" if sac._fused_update_enabled(cfg, env) else "scan")
     return (K * cfg.num_envs / min(times),
             f"hover-b65536-batch8192-dense8-{tag}-K128")
 

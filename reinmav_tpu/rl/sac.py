@@ -453,11 +453,16 @@ def make_optimizers(cfg: SacConfig):
     )
 
 
-def _fused_update_enabled(cfg: SacConfig) -> bool:
+def _fused_update_enabled(cfg: SacConfig, env: EnvDef | None = None) -> bool:
     """Static dispatch for the one-launch SAC update kernel."""
     if cfg.fused_update == "off":
         return False
     if len(cfg.hidden) != 2 or cfg.hidden[0] != cfg.hidden[1]:
+        return False
+    if env is not None and cfg.hidden[0] < 2 * env.action_dim:
+        # The plane lane count is hidden[0]; the actor's output layer
+        # (2*action_dim lanes) must fit — refuse loudly here rather than
+        # crash in pack_mlp's padding.
         return False
     if cfg.max_grad_norm is not None:  # in-kernel optimiser is plain adam
         return False
@@ -512,7 +517,6 @@ def _fused_iteration_updates(cfg: SacConfig, env: EnvDef, s: SacState,
     lanes = cfg.hidden[0]
     adims = (d, *cfg.hidden, 2 * a)
     qdims = (d + a, *cfg.hidden, 1)
-    cd = None  # plane packing is f32; cd applies inside the loss math
 
     keys = jax.random.split(k_loop, cfg.grad_steps)
     blocks = []
@@ -524,7 +528,7 @@ def _fused_iteration_updates(cfg: SacConfig, env: EnvDef, s: SacState,
         eps_pi = jax.random.normal(k_pi, (a, cfg.batch_size), jnp.float32)
         blocks.append(jnp.concatenate([rws, eps_t, eps_pi]))
     data = jnp.concatenate(blocks, axis=1)
-    r8 = -(-data.shape[0] // 8) * 8
+    r8 = psu._rup8(data.shape[0])
     if r8 != data.shape[0]:
         data = jnp.concatenate(
             [data, jnp.zeros((r8 - data.shape[0], data.shape[1]),
@@ -622,7 +626,7 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
     )
     d, a = env.obs_dim, env.action_dim
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-    fused_upd = _fused_update_enabled(cfg) and axis_name is None
+    fused_upd = _fused_update_enabled(cfg, env) and axis_name is None
     # Local (per-device under shard_map) env batch, from the ARRAY shape.
     b_local = state.env_states.shape[0]
     dense8 = b_local % 8 == 0

@@ -105,4 +105,9 @@ def test_fused_warmup_freezes_everything():
     np.testing.assert_array_equal(np.asarray(state.log_alpha),
                                   new_state.log_alpha)
     for oname in ("opt_actor", "opt_q", "opt_alpha"):
-        assert int(getattr(new_state, oname)[0].count) == 0
+        r_adam = getattr(state, oname)[0]
+        n_adam = getattr(new_state, oname)[0]
+        assert int(n_adam.count) == 0
+        for r, nv in zip(jax.tree_util.tree_leaves((r_adam.mu, r_adam.nu)),
+                         jax.tree_util.tree_leaves((n_adam.mu, n_adam.nu))):
+            np.testing.assert_array_equal(np.asarray(r), nv, err_msg=oname)
