@@ -145,29 +145,13 @@ def bench_sac(key) -> tuple[float, str]:
     # benchmark; the knob exists for desynchronised workloads.
     env = reinmav_tpu.make("MujocoQuadForce-v1")
 
-    # Tripwire for the one-launch SAC update kernel (ops/pallas_sac_update,
-    # default off — interpret-pinned but first Mosaic-executed here): a
-    # small real-chip A/B against the one_update scan before letting it
-    # into the headline config.
-    fused_update = "auto"
-    try:
-        small = sac.SacConfig(num_envs=1024, batch_size=1024,
-                              buffer_capacity=1 << 15, warmup_steps=0)
-        st0 = sac.init_state(env, small, key)
-        sa, _ = jax.jit(lambda s: sac.train_iters(
-            env, small._replace(fused_update="off"), s, 4))(st0)
-        sb, _ = jax.jit(lambda s: sac.train_iters(
-            env, small._replace(fused_update="auto"), s, 4))(st0)
-        for a, b in zip(jax.tree.leaves((sa.actor, sa.q1, sa.q2)),
-                        jax.tree.leaves((sb.actor, sb.q1, sb.q2))):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=2e-3, atol=1e-5)
-    except Exception as e:  # pragma: no cover - hardware-only guard
-        import sys
-
-        print(f"# sac fused_update tripwire failed, benching without: {e!r}"[:300],
-              file=sys.stderr, flush=True)
-        fused_update = "off"
+    # The one-launch SAC update kernel (ops/pallas_sac_update) Mosaic-
+    # compiles and is numerically pinned, but the on-chip A/B measured it
+    # 0.95x the one_update scan at this config (benchmarks/
+    # sac_fused_update_ab.py, 2026-08-19: 51.6M off vs 48.8M on — the
+    # group=512 sequential grid beats XLA's launch glue but loses the
+    # stacked-twin matmuls, net −5%), so the headline stays on the scan.
+    fused_update = "off"
 
     cfg = sac.SacConfig(num_envs=65536, batch_size=8192,
                         buffer_capacity=1 << 21, warmup_steps=0,

@@ -244,8 +244,11 @@ def _sac_kernel(cfg, env, adims, qdims, lanes, group, groups, grad_steps,
                  "q2": _read_mlp(ps, p_offs["q2"], qdims)}
 
         def loss_fn(qp):
+            # safe_twin: the stacked-twin concat layout does not lower
+            # through Mosaic (see sac.twin_q_value_safe_t).
             return sac_mod._critic_loss_eps(
-                qp, cfg, env, rows, (q1t, q2t), eps_t, actor, log_alpha, cd)
+                qp, cfg, env, rows, (q1t, q2t), eps_t, actor, log_alpha, cd,
+                safe_twin=True)
 
         (qloss, (q_mean, t_mean)), qg = jax.value_and_grad(
             loss_fn, has_aux=True)(qtree)
@@ -272,7 +275,8 @@ def _sac_kernel(cfg, env, adims, qdims, lanes, group, groups, grad_steps,
 
         def loss_fn(aap):
             return sac_mod._actor_alpha_loss_eps(
-                aap, cfg, env, rows, q1, q2, eps_pi, target_entropy, cd)
+                aap, cfg, env, rows, q1, q2, eps_pi, target_entropy, cd,
+                safe_twin=True)
 
         (_, (pi_loss, ent, alpha)), ag = jax.value_and_grad(
             loss_fn, has_aux=True)(aa)

@@ -68,11 +68,15 @@ class SacConfig(NamedTuple):
     # One-launch fused update phase (ops/pallas_sac_update): all
     # grad_steps updates — twin-critic, actor, alpha, polyak, three
     # Adams — as ONE Pallas kernel with the five MLPs + moments resident
-    # in packed VMEM planes.  "off" (default — UNMEASURED on TPU as of
-    # r3; bench.py tripwires it on), "auto" = on-TPU single-device,
-    # "on" forces (tests/interpret).  Requires equal 2-layer hidden,
-    # max_grad_norm=None, single device (the shard_map path must pmean
-    # between updates).
+    # in packed VMEM planes.  "off" (default): the on-chip A/B measured
+    # the kernel at 0.95x the one_update scan at the bench config
+    # (benchmarks/sac_fused_update_ab.py, results.json 2026-08-19 — the
+    # group=512 sequential grid beats XLA's launch glue but loses the
+    # stacked-twin matmuls, which Mosaic's concat limits forbid
+    # in-kernel; see twin_q_value_safe_t).  "auto" = on-TPU
+    # single-device, "on" forces (tests/interpret).  Requires equal
+    # 2-layer hidden, max_grad_norm=None, single device (the shard_map
+    # path must pmean between updates).
     fused_update: str = "off"
     # Replay-sampling granularity: draw ``batch_size/sample_tile`` random
     # contiguous column BLOCKS instead of batch_size scattered columns.
@@ -210,6 +214,40 @@ def twin_q_value_t(qa, qb, obs_t, act_t, cd=None):
     return twin_mlp_t(qa, qb, x, cd)
 
 
+def _q_value_split_t(q, obs_t, act_t, cd=None):
+    """One critic as all-2-D matmuls with the input concat removed
+    algebraically: w·[obs; act] = w[:d]·obs + w[d:]·act -> (batch,)."""
+    d = obs_t.shape[0]
+    x = (_dot_t(q[0]["w"][:d], obs_t, cd) + _dot_t(q[0]["w"][d:], act_t, cd)
+         + q[0]["b"][:, None])
+    x = _relu_bf16_residual(x) if cd is not None else jax.nn.relu(x)
+    for i in range(1, len(q)):
+        x = _dot_t(q[i]["w"], x, cd) + q[i]["b"][:, None]
+        if i < len(q) - 1:
+            x = _relu_bf16_residual(x) if cd is not None else jax.nn.relu(x)
+    return x[0]
+
+
+def twin_q_value_safe_t(qa, qb, obs_t, act_t, cd=None):
+    """Mosaic-safe :func:`twin_q_value_t` for the fused-update kernel.
+
+    The stacked-twin fast path concatenates along LANES (layer-0 weight,
+    (din, 2H)) and as 1-D vectors (the bias pair) — both lower to
+    ``tpu.concatenate`` ops Mosaic rejects on real hardware ("input
+    offsets outside of the first tile"), and the 3-D batched-dot rewrite
+    crashed Mosaic's vector-layout pass outright (``Check failed:
+    limits[i] <= dim(i)``; both first seen on a v5e, 2026-08-19).  So
+    inside the kernel the twins run as two sequential all-2-D MLP passes
+    with the (obs ‖ act) input concat removed algebraically — stacking
+    exists to cut XLA kernel launches, which a fused kernel has none of.
+    Same contractions as :func:`twin_q_value_t` (layer 0's two partial
+    sums change only float association), so kernel-vs-scan stays within
+    the differential-test tolerances.
+    """
+    return (_q_value_split_t(qa, obs_t, act_t, cd),
+            _q_value_split_t(qb, obs_t, act_t, cd))
+
+
 def init_sac_params(key, obs_dim: int, action_dim: int, hidden):
     ka, k1, k2 = jax.random.split(key, 3)
     actor = _mlp_init(ka, (obs_dim, *hidden, 2 * action_dim))
@@ -341,7 +379,7 @@ def buffer_sample(buffer, filled, key, batch: int, tile: int = 1):
 
 
 def _critic_loss_eps(q_params, cfg, env, batch_rows, target_q, eps, actor,
-                     log_alpha, cd=None):
+                     log_alpha, cd=None, safe_twin=False):
     """MSE of both critics against the soft Bellman target, with the
     target-action Gaussian draw passed in as ``eps`` (A, batch) — the
     core shared by the XLA path (key wrapper below) and the fused-update
@@ -356,15 +394,16 @@ def _critic_loss_eps(q_params, cfg, env, batch_rows, target_q, eps, actor,
     nobs = batch_rows[d + a + 1:2 * d + a + 1]
     done = batch_rows[2 * d + a + 1]
 
+    twin_fn = twin_q_value_safe_t if safe_twin else twin_q_value_t
     q1t, q2t = target_q
     na, nlogp = sample_squashed_eps_t(actor, nobs, eps, a, cd)
-    tq = jnp.minimum(*twin_q_value_t(q1t, q2t, nobs, na, cd))
+    tq = jnp.minimum(*twin_fn(q1t, q2t, nobs, na, cd))
     alpha = jnp.exp(log_alpha)
     target = rew * cfg.reward_scale + cfg.gamma * (1.0 - done) * (
         tq - alpha * nlogp
     )
     target = jax.lax.stop_gradient(target)
-    q1v, q2v = twin_q_value_t(q_params["q1"], q_params["q2"], obs, act, cd)
+    q1v, q2v = twin_fn(q_params["q1"], q_params["q2"], obs, act, cd)
     loss = jnp.mean(jnp.square(q1v - target) + jnp.square(q2v - target))
     return loss, (jnp.mean(q1v), jnp.mean(target))
 
@@ -380,13 +419,14 @@ def critic_loss(q_params, cfg, env, batch_rows, target_q, key, actor,
 
 
 def _actor_alpha_loss_eps(aa_params, cfg, env, batch_rows, q1, q2, eps,
-                          target_entropy, cd=None):
+                          target_entropy, cd=None, safe_twin=False):
     """Actor + temperature loss with the resample draw passed in as
     ``eps`` (A, batch) — core shared with the fused-update kernel."""
     d, a = env.obs_dim, env.action_dim
+    twin_fn = twin_q_value_safe_t if safe_twin else twin_q_value_t
     obs = batch_rows[:d]
     act_s, logp = sample_squashed_eps_t(aa_params["actor"], obs, eps, a, cd)
-    qmin = jnp.minimum(*twin_q_value_t(q1, q2, obs, act_s, cd))
+    qmin = jnp.minimum(*twin_fn(q1, q2, obs, act_s, cd))
     alpha = jnp.exp(jax.lax.stop_gradient(aa_params["log_alpha"]))
     pi_loss = jnp.mean(alpha * logp - qmin)
     # alpha gradient: d/d log_alpha of -log_alpha*(logp + H*) with logp
