@@ -131,35 +131,54 @@ def bench_ppo(env, key) -> tuple[float, str]:
 
 
 def bench_sac(key) -> tuple[float, str]:
-    """SAC (off-policy) iteration throughput: batched env collection +
-    replay-sampled twin-critic/actor updates, the whole loop one
-    compiled scan with the TPU-resident replay ring (rl/sac.py)."""
+    """SAC (off-policy) iteration throughput: fused-collection Pallas
+    kernel (policy + env step + replay block in one launch,
+    ops/pallas_offpolicy) + replay-sampled twin-critic/actor updates, the
+    whole loop one compiled scan with the TPU-resident replay ring
+    (rl/sac.py).  Production defaults: ``fused_collect="auto"`` and
+    ``sample_tile="auto"`` (the desync-gated 1→128 switch — tiled lane
+    reads once ≥90% of envs have terminated at least once; the r3
+    early-training tile pathology is handled by the gate, and the r4
+    auto-tile training artifact reaches survival like tile=1)."""
     import numpy as np
 
     from reinmav_tpu.rl import sac
 
-    # sample_tile stays 1: tiled gathers add ~19% at matched K but the
-    # hover env's deterministic resets phase-lock the batch, and a measured
-    # 60M-step run with tile=128 failed to reach survival (the ADVICE r2
-    # shuffle-tile caveat, live).  Honest uniform sampling is the
-    # benchmark; the knob exists for desynchronised workloads.
     env = reinmav_tpu.make("MujocoQuadForce-v1")
 
-    # The one-launch SAC update kernel (ops/pallas_sac_update) Mosaic-
-    # compiles and is numerically pinned, but the on-chip A/B measured it
-    # 0.95x the one_update scan at this config (benchmarks/
-    # sac_fused_update_ab.py, 2026-08-19: 51.6M off vs 48.8M on — the
-    # group=512 sequential grid beats XLA's launch glue but loses the
-    # stacked-twin matmuls, net −5%), so the headline stays on the scan.
+    # The one-launch SAC update kernel (ops/pallas_sac_update) measured
+    # 0.95x the one_update scan on-chip at this config (r3) and 0.88x
+    # with tiled sampling (r4, benchmarks/sac_lever_ab.py), so the
+    # headline stays on the scan update.
     fused_update = "off"
+
+    # Tripwire: Mosaic-compile the fused collection kernel on a small
+    # config before letting it into the headline (interpret-mode
+    # differentials can't catch Mosaic-only failures — CLAUDE.md).
+    fused_collect = "auto"
+    try:
+        small = sac.SacConfig(num_envs=4096, batch_size=1024,
+                              buffer_capacity=1 << 14, warmup_steps=0,
+                              fused_collect="on")
+        st0 = sac.init_state(env, small, jax.random.PRNGKey(2))
+        st1, _ = jax.jit(lambda s: sac.train_iters(env, small, s, 2))(st0)
+        assert np.isfinite(float(np.asarray(st1.buffer[0, 0])))
+    except Exception as e:  # pragma: no cover - hardware-only guard
+        import sys
+
+        print(f"# fused_collect tripwire failed, benching without: {e!r}"[:300],
+              file=sys.stderr, flush=True)
+        fused_collect = "off"
 
     cfg = sac.SacConfig(num_envs=65536, batch_size=8192,
                         buffer_capacity=1 << 21, warmup_steps=0,
-                        fused_update=fused_update)
-    # K=128 folds per dispatch: per-iteration compute is ~0.8 ms, so the
-    # tunnel's ~25 ms dispatch floor dominates at small K (measured 41M
-    # at K=32, 56M at K=64, 67M at K=128).
-    K = 128
+                        fused_update=fused_update,
+                        fused_collect=fused_collect)
+    # K=256 folds per dispatch: per-iteration compute is ~0.6 ms, so the
+    # tunnel's ~28 ms dispatch floor dominates at small K (r4 probes:
+    # a TRIVIAL K=64 scan costs 0.45 ms/iter — pure dispatch floor).
+    # On non-tunnelled hardware the floor is absent; K amortises it here.
+    K = 256
     state = sac.init_state(env, cfg, jax.random.PRNGKey(1))
     fn = sac.make_train_iters(env, cfg, K)
     state, m = fn(state)
@@ -171,9 +190,9 @@ def bench_sac(key) -> tuple[float, str]:
         float(np.asarray(state.total_steps))
         times.append(time.perf_counter() - t0)
     assert np.isfinite(float(np.asarray(m["q_loss"])))
-    tag = ("fusedupdate" if sac._fused_update_enabled(cfg, env) else "scan")
+    tag = "fusedcollect" if fused_collect == "auto" else "scan"
     return (K * cfg.num_envs / min(times),
-            f"hover-b65536-batch8192-dense8-{tag}-K128")
+            f"hover-b65536-batch8192-{tag}-autotile-K256")
 
 
 def main():

@@ -31,10 +31,10 @@ def timeit(fn, *args, reps=3):
     return min(ts) / K
 
 
-# full iteration
-full = sac.make_train_iters(env, cfg, K)
+# full iteration (no donation — the state is reused by every probe below)
+full = jax.jit(lambda s: sac.train_iters(env, cfg, s, K))
 state2, m = full(state)
-t_full = timeit(lambda s: sac.train_iters(env, cfg, s, K), state)
+t_full = timeit(full, state)
 print(f"full iter      : {t_full*1e3:8.3f} ms  ({cfg.num_envs/t_full/1e6:.1f}M steps/s)")
 
 # actor sample on the full env batch

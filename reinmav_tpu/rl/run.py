@@ -59,11 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target_entropy", type=float, default=None,
                    help="SAC entropy target (default -action_dim); more "
                         "negative = less exploration noise")
-    p.add_argument("--sample_tile", type=int, default=1,
-                   help="replay gather granularity: sample batch/tile "
-                        "contiguous column blocks instead of scattered "
-                        "columns (lane-width HBM reads; use 128 at large "
-                        "num_env — see SacConfig.sample_tile)")
+    p.add_argument("--sample_tile", default="auto",
+                   type=lambda v: v if v == "auto" else int(v),
+                   help="replay gather granularity: 'auto' (default) "
+                        "starts with scattered columns and switches "
+                        "in-graph to 128-wide blocks once >=90%% of envs "
+                        "have terminated at least once (lane-width HBM "
+                        "reads, desync-gated); an int forces it — see "
+                        "SacConfig.sample_tile)")
     p.add_argument("--explore_noise", type=float, default=0.1,
                    help="TD3 collect-time action-noise std")
     p.add_argument("--policy_noise", type=float, default=0.2,

@@ -78,6 +78,17 @@ class SacConfig(NamedTuple):
     # 2-layer hidden, max_grad_norm=None, single device (the shard_map
     # path must pmean between updates).
     fused_update: str = "off"
+    # One-launch fused COLLECTION phase (ops/pallas_offpolicy): actor
+    # MLP + tanh-Gaussian sampling + warmup gating + action scaling +
+    # env step + auto-reset + replay-block assembly as ONE Pallas
+    # kernel per iteration; the ring insert stays a single in-place
+    # dynamic_update_slice on the donated buffer.  "auto" = on for the
+    # five reward-bearing env IDs on a single TPU device with default
+    # params and 2-layer hidden; "on" forces (tests/interpret).  The
+    # kernel samples from the on-core PRNG — statistically equivalent
+    # to the scan path, not bitwise (differential test pins the ε→0
+    # limit bitwise; tests/test_pallas_offpolicy.py).
+    fused_collect: str = "auto"
     # Replay-sampling granularity: draw ``batch_size/sample_tile`` random
     # contiguous column BLOCKS instead of batch_size scattered columns.
     # Scattered single-column gathers from the (R, C) ring read 4-byte
@@ -88,8 +99,14 @@ class SacConfig(NamedTuple):
     # tpuquad family) the batch starts PHASE-LOCKED and tiles are
     # near-duplicates: a measured 60M-step hover run at tile=128 never
     # reached survival while tile=1 solves it (the ppo shuffle_tile
-    # caveat, live).  Default 1 = exact uniform sampling.
-    sample_tile: int = 1
+    # caveat, live).  Default "auto": start at tile=1 and switch
+    # in-graph to tile=128 once ≥90% of envs have terminated at least
+    # once (episode boundaries land at noise-determined iterations, so
+    # that fraction IS the desynchronisation signal — the ``ever_done``
+    # carry) — capturing the +19% without the early-training pathology.
+    # An int forces that granularity unconditionally (1 = exact uniform
+    # sampling always).
+    sample_tile: int | str = "auto"
 
 
 class SacState(NamedTuple):
@@ -108,6 +125,8 @@ class SacState(NamedTuple):
     env_states: jnp.ndarray  # (B, state_dim) row layout at the API edge
     key: jax.Array
     total_steps: jnp.ndarray  # int64-safe int32 env-step counter
+    ever_done: jnp.ndarray   # (B,) f32: 1 once the env has terminated at
+    #                          least once — the sample_tile="auto" gate
 
 
 # ---------------------------------------------------------------------------
@@ -493,6 +512,48 @@ def make_optimizers(cfg: SacConfig):
     )
 
 
+def _fused_collect_enabled(cfg, env: EnvDef, b_local: int) -> bool:
+    """Static dispatch for the one-launch collection kernel (shared by
+    SAC and TD3/DDPG configs — both carry ``fused_collect``/``hidden``)."""
+    if cfg.fused_collect == "off":
+        return False
+    if len(cfg.hidden) != 2 or b_local % 8:
+        return False
+    from ..ops import pallas_offpolicy as pop
+
+    if not pop.available() or not pop.supported(env):
+        return False
+    from ..envs.core import fused_kernel_mismatch
+
+    # The kernel bakes in the registry step/reset fns and default params
+    # (the classical controller is irrelevant here — the policy acts).
+    if fused_kernel_mismatch(env, require_control=False) is not None:
+        return False
+    if cfg.fused_collect == "on":
+        return True
+    return jax.devices()[0].platform == "tpu"
+
+
+def _collect_tile(b_local: int) -> int:
+    """Largest lane tile (≤128) dividing the dense8 column count."""
+    import math
+
+    return math.gcd(b_local // 8, 128)
+
+
+def _collect_consts(env: EnvDef, warm_gate, explore_noise: float):
+    """The kernel's f32 consts vector [warm_gate, explore_noise, lo(A),
+    hi(A)] (see ops/pallas_offpolicy)."""
+    a = env.action_dim
+    lo, hi = env.physical_action_bounds()
+    lo = jnp.broadcast_to(jnp.asarray(lo, jnp.float32), (a,))
+    hi = jnp.broadcast_to(jnp.asarray(hi, jnp.float32), (a,))
+    return jnp.concatenate([
+        warm_gate.astype(jnp.float32)[None],
+        jnp.full((1,), explore_noise, jnp.float32), lo, hi,
+    ])
+
+
 def _fused_update_enabled(cfg: SacConfig, env: EnvDef | None = None) -> bool:
     """Static dispatch for the one-launch SAC update kernel."""
     if cfg.fused_update == "off":
@@ -536,11 +597,47 @@ def init_state(env: EnvDef, cfg: SacConfig, key: jax.Array) -> SacState:
         env_states=env.vreset(jax.random.split(k_env, cfg.num_envs)),
         key=k_loop,
         total_steps=jnp.zeros((), jnp.int32),
+        ever_done=jnp.zeros((cfg.num_envs,), jnp.float32),
     )
 
 
+def resolve_sample_tile(cfg, b_local: int):
+    """``sample_tile`` -> (static tile width, auto flag).  "auto" means
+    tile=1 early and an IN-GRAPH switch to 128 once the batch has
+    desynchronised (see SacConfig.sample_tile); falls back to plain
+    tile=1 when 128 doesn't divide the batch/env counts."""
+    tile = cfg.sample_tile
+    if tile == "auto":
+        if cfg.batch_size % 128 == 0 and b_local % 128 == 0:
+            return 128, True
+        return 1, False
+    if not isinstance(tile, int):
+        raise ValueError(f"sample_tile must be an int or 'auto', got {tile}")
+    return tile, False
+
+
+def make_sampler(cfg, buffer, filled, tile: int, auto_tile: bool, desync):
+    """The per-update replay sampler closure: scattered columns, fixed
+    tiles, or the auto desync-gated switch (both granularities traced,
+    one executed — ``lax.cond``)."""
+    fil = jnp.maximum(filled, 1)
+
+    def sample_rows(k_s):
+        if not auto_tile:
+            return buffer_sample(buffer, fil, k_s, cfg.batch_size, tile=tile)
+        return jax.lax.cond(
+            desync >= 0.9,
+            lambda k: buffer_sample(buffer, fil, k, cfg.batch_size,
+                                    tile=tile),
+            lambda k: buffer_sample(buffer, fil, k, cfg.batch_size, tile=1),
+            k_s,
+        )
+
+    return sample_rows
+
+
 def _fused_iteration_updates(cfg: SacConfig, env: EnvDef, s: SacState,
-                             buffer, filled, gate, k_loop, tile,
+                             buffer, filled, gate, k_loop, sample_rows,
                              target_entropy):
     """One iteration's ``grad_steps`` updates through the one-launch
     Pallas kernel (ops/pallas_sac_update).
@@ -562,8 +659,7 @@ def _fused_iteration_updates(cfg: SacConfig, env: EnvDef, s: SacState,
     blocks = []
     for gsi in range(cfg.grad_steps):  # static unroll (grad_steps small)
         k_s, k_tgt, k_pi = jax.random.split(keys[gsi], 3)
-        rws = buffer_sample(buffer, jnp.maximum(filled, 1), k_s,
-                            cfg.batch_size, tile=tile).astype(jnp.float32)
+        rws = sample_rows(k_s).astype(jnp.float32)
         eps_t = jax.random.normal(k_tgt, (a, cfg.batch_size), jnp.float32)
         eps_pi = jax.random.normal(k_pi, (a, cfg.batch_size), jnp.float32)
         blocks.append(jnp.concatenate([rws, eps_t, eps_pi]))
@@ -670,7 +766,8 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
     # Local (per-device under shard_map) env batch, from the ARRAY shape.
     b_local = state.env_states.shape[0]
     dense8 = b_local % 8 == 0
-    tile = cfg.sample_tile
+    fused_col = _fused_collect_enabled(cfg, env, b_local) and axis_name is None
+    tile, auto_tile = resolve_sample_tile(cfg, b_local)
     if tile > 1 and (cfg.batch_size % tile or b_local % tile):
         raise ValueError(
             f"sample_tile {tile} must divide batch_size {cfg.batch_size} "
@@ -690,36 +787,60 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
 
         # ---- collect: one auto-reset env step across the batch --------
         states_t = s.env_states.T                      # (D, B)
-        obs_t = states_t[:d]
-        a_pol, _ = sample_squashed_t(s.actor, obs_t, k_act, a, cd)
-        a_rand = jax.random.uniform(k_rand, a_pol.shape, jnp.float32,
-                                    -1.0, 1.0)
         warm = s.total_steps < cfg.warmup_steps
-        a_t = jnp.where(warm, a_rand, a_pol)           # [-1, 1]
-        step8 = _autoreset_dense8 if dense8 else EnvDef.autoreset_step_t
-        out = step8(env, states_t, _scale_action_t(env, a_t), k_reset)
-        # autoreset_step_t replaces only .state; out.obs is the TERMINAL
-        # observation (envs/core.py contract), so the stored next_obs row
-        # is always the true successor.  This is load-bearing for
-        # truncated columns (done=0): the Bellman target bootstraps from
-        # this slot, which is only correct because it holds the terminal
-        # obs, not a post-reset one.
-        block = jnp.concatenate([
-            obs_t, a_t,
-            out.reward[None], out.obs[:d], out.done[None].astype(jnp.float32),
-        ])
+        if fused_col:
+            # One Pallas launch: actor + sample + warmup gate + scale +
+            # env step + auto-reset + replay block (ops/pallas_offpolicy).
+            from ..ops import pallas_offpolicy as pop
+
+            seed = jax.random.randint(k_act, (1,), 0, 2**31 - 1, jnp.int32)
+            consts = _collect_consts(env, warm, 0.0)
+            new_rows, block_rows = pop.collect_step_pallas(
+                env.name, "sac",
+                states_t.reshape(8 * d, b_local // 8), seed, consts,
+                *pop.actor_kernel_args(s.actor),
+                tile=_collect_tile(b_local), compute_dtype=cfg.compute_dtype)
+            block = block_rows.reshape(2 * d + a + 2, b_local)
+            # The kernel is float32-only (like every fused kernel); keep
+            # the scan carry's dtype (f64 on the x64 CPU test backend).
+            out = StepOut(
+                new_rows.reshape(d, b_local).astype(states_t.dtype),
+                block[d + a + 1:2 * d + a + 1], block[d + a],
+                block[2 * d + a + 1], None)
+        else:
+            obs_t = states_t[:d]
+            a_pol, _ = sample_squashed_t(s.actor, obs_t, k_act, a, cd)
+            a_rand = jax.random.uniform(k_rand, a_pol.shape, jnp.float32,
+                                        -1.0, 1.0)
+            a_t = jnp.where(warm, a_rand, a_pol)       # [-1, 1]
+            step8 = _autoreset_dense8 if dense8 else EnvDef.autoreset_step_t
+            out = step8(env, states_t, _scale_action_t(env, a_t), k_reset)
+            # autoreset_step_t replaces only .state; out.obs is the
+            # TERMINAL observation (envs/core.py contract), so the stored
+            # next_obs row is always the true successor.  This is
+            # load-bearing for truncated columns (done=0): the Bellman
+            # target bootstraps from this slot, which is only correct
+            # because it holds the terminal obs, not a post-reset one.
+            block = jnp.concatenate([
+                obs_t, a_t, out.reward[None], out.obs[:d],
+                out.done[None].astype(jnp.float32),
+            ])
         buffer, ptr, filled = buffer_insert(s.buffer, s.ptr, s.filled, block)
         total = s.total_steps + cfg.num_envs
         ready = (filled >= cfg.batch_size) & (total >= cfg.warmup_steps)
         gate = ready.astype(jnp.float32)
+        ever_done = jnp.maximum(s.ever_done,
+                                out.done.astype(jnp.float32))
+        desync = jnp.mean(ever_done)
+        sample_rows = make_sampler(cfg, buffer, filled, tile, auto_tile,
+                                   desync)
 
         # ---- update(s) -------------------------------------------------
         def one_update(carry, k):
             (actor, q1, q2, q1t, q2t, log_alpha,
              oa, oq, oal) = carry
             k_s, k_tgt, k_pi = jax.random.split(k, 3)
-            rows = buffer_sample(buffer, jnp.maximum(filled, 1), k_s,
-                                 cfg.batch_size, tile=tile)
+            rows = sample_rows(k_s)
             (qloss, (q_mean, tgt_mean)), qg = jax.value_and_grad(
                 critic_loss, has_aux=True
             )({"q1": q1, "q2": q2}, cfg, env, rows, (q1t, q2t), k_tgt,
@@ -767,7 +888,7 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
         if fused_upd:
             (actor, q1, q2, q1t, q2t, log_alpha, oa, oq, oal), met = (
                 _fused_iteration_updates(
-                    cfg, env, s, buffer, filled, gate, k_loop, tile,
+                    cfg, env, s, buffer, filled, gate, k_loop, sample_rows,
                     target_entropy))
         else:
             carry0 = (s.actor, s.q1, s.q2, s.q1_target, s.q2_target,
@@ -784,6 +905,7 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
         met["mean_reward"] = jnp.mean(out.reward)
         met["done_frac"] = jnp.mean(out.done.astype(jnp.float32))
         met["buffer_filled"] = filled.astype(jnp.float32)
+        met["desync_frac"] = desync
         if axis_name is not None:  # replicated metrics out of shard_map
             met = jax.lax.pmean(met, axis_name)
 
@@ -792,6 +914,7 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
             log_alpha=log_alpha, opt_actor=oa, opt_q=oq, opt_alpha=oal,
             buffer=buffer, ptr=ptr, filled=filled,
             env_states=out.state.T, key=key, total_steps=total,
+            ever_done=ever_done,
         )
         return new, met
 
@@ -805,7 +928,7 @@ def _finish_metrics(metrics):
     iterations only; env/collection metrics average over all."""
     gate = metrics.pop("update_gate")
     denom = jnp.maximum(jnp.sum(gate), 1.0)
-    ungated = ("mean_reward", "done_frac", "buffer_filled")
+    ungated = ("mean_reward", "done_frac", "buffer_filled", "desync_frac")
     return {
         k: (jnp.mean(v) if k in ungated else jnp.sum(v) / denom)
         for k, v in metrics.items()
@@ -828,6 +951,7 @@ def _shard_specs(cfg: SacConfig):
         log_alpha=rep, opt_actor=rep, opt_q=rep, opt_alpha=rep,
         buffer=P(None, BATCH_AXIS), ptr=rep, filled=rep,
         env_states=P(BATCH_AXIS), key=rep, total_steps=rep,
+        ever_done=P(BATCH_AXIS),
     )
 
 

@@ -35,17 +35,22 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..envs.core import EnvDef
+from ..envs.core import EnvDef, StepOut
 # Shared off-policy primitives (see sac.py for the layout rationale).
 from .sac import (
     _autoreset_dense8,
     _capacity,
+    _collect_consts,
+    _collect_tile,
+    _fused_collect_enabled,
     _mlp_init,
     _mlp_t,
     _row_dims,
     _scale_action_t,
     buffer_insert,
     buffer_sample,
+    make_sampler,
+    resolve_sample_tile,
     twin_q_value_t,
 )
 
@@ -66,8 +71,12 @@ class Td3Config(NamedTuple):
     policy_noise: float = 0.2        # std of target-smoothing noise
     noise_clip: float = 0.5          # clip on the smoothing noise
     policy_delay: int = 2            # critic updates per actor update
-    sample_tile: int = 1             # replay gather granularity (see
-                                     # SacConfig.sample_tile)
+    fused_collect: str = "auto"      # one-launch collection kernel (see
+                                     # SacConfig.fused_collect; TD3 mode
+                                     # = tanh actor + clipped noise)
+    sample_tile: int | str = "auto"  # replay gather granularity (see
+                                     # SacConfig.sample_tile; "auto" =
+                                     # desync-gated 1 -> 128 switch)
     single_critic: bool = False      # True = classic DDPG (q2 is None,
                                      # Bellman target uses q1 alone)
     compute_dtype: str = "float32"   # "bfloat16": reduced-precision matmul
@@ -91,6 +100,7 @@ class Td3State(NamedTuple):
     key: jax.Array
     total_steps: jnp.ndarray
     updates: jnp.ndarray     # int32 critic-update counter (delay gating)
+    ever_done: jnp.ndarray   # (B,) f32 sample_tile="auto" desync gate
 
 
 def actor_action_t(actor, obs_t, cd=None):
@@ -142,6 +152,7 @@ def init_state(env: EnvDef, cfg: Td3Config, key: jax.Array) -> Td3State:
         key=k_loop,
         total_steps=jnp.zeros((), jnp.int32),
         updates=jnp.zeros((), jnp.int32),
+        ever_done=jnp.zeros((cfg.num_envs,), jnp.float32),
     )
 
 
@@ -201,7 +212,8 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     b_local = state.env_states.shape[0]
     dense8 = b_local % 8 == 0
-    tile = cfg.sample_tile
+    fused_col = _fused_collect_enabled(cfg, env, b_local) and axis_name is None
+    tile, auto_tile = resolve_sample_tile(cfg, b_local)
     if tile > 1 and (cfg.batch_size % tile or b_local % tile):
         raise ValueError(
             f"sample_tile {tile} must divide batch_size {cfg.batch_size} "
@@ -218,34 +230,57 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
 
         # ---- collect: deterministic policy + exploration noise ---------
         states_t = s.env_states.T
-        obs_t = states_t[:d]
-        a_pol = jnp.clip(
-            actor_action_t(s.actor, obs_t, cd)
-            + cfg.explore_noise
-            * jax.random.normal(k_noise, (a, obs_t.shape[1]), jnp.float32),
-            -1.0, 1.0,
-        )
-        a_rand = jax.random.uniform(k_rand, a_pol.shape, jnp.float32,
-                                    -1.0, 1.0)
         warm = s.total_steps < cfg.warmup_steps
-        a_t = jnp.where(warm, a_rand, a_pol)
-        step8 = _autoreset_dense8 if dense8 else EnvDef.autoreset_step_t
-        out = step8(env, states_t, _scale_action_t(env, a_t), k_reset)
-        block = jnp.concatenate([
-            obs_t, a_t,
-            out.reward[None], out.obs[:d], out.done[None].astype(jnp.float32),
-        ])
+        if fused_col:
+            # One Pallas launch (ops/pallas_offpolicy, mode="td3"): tanh
+            # actor + clipped exploration noise + warmup gate + scale +
+            # env step + auto-reset + replay block.
+            from ..ops import pallas_offpolicy as pop
+
+            seed = jax.random.randint(k_noise, (1,), 0, 2**31 - 1, jnp.int32)
+            consts = _collect_consts(env, warm, cfg.explore_noise)
+            new_rows, block_rows = pop.collect_step_pallas(
+                env.name, "td3",
+                states_t.reshape(8 * d, b_local // 8), seed, consts,
+                *pop.actor_kernel_args(s.actor),
+                tile=_collect_tile(b_local), compute_dtype=cfg.compute_dtype)
+            block = block_rows.reshape(2 * d + a + 2, b_local)
+            out = StepOut(
+                new_rows.reshape(d, b_local).astype(states_t.dtype),
+                block[d + a + 1:2 * d + a + 1], block[d + a],
+                block[2 * d + a + 1], None)
+        else:
+            obs_t = states_t[:d]
+            a_pol = jnp.clip(
+                actor_action_t(s.actor, obs_t, cd)
+                + cfg.explore_noise
+                * jax.random.normal(k_noise, (a, obs_t.shape[1]), jnp.float32),
+                -1.0, 1.0,
+            )
+            a_rand = jax.random.uniform(k_rand, a_pol.shape, jnp.float32,
+                                        -1.0, 1.0)
+            a_t = jnp.where(warm, a_rand, a_pol)
+            step8 = _autoreset_dense8 if dense8 else EnvDef.autoreset_step_t
+            out = step8(env, states_t, _scale_action_t(env, a_t), k_reset)
+            block = jnp.concatenate([
+                obs_t, a_t,
+                out.reward[None], out.obs[:d],
+                out.done[None].astype(jnp.float32),
+            ])
         buffer, ptr, filled = buffer_insert(s.buffer, s.ptr, s.filled, block)
         total = s.total_steps + cfg.num_envs
         ready = (filled >= cfg.batch_size) & (total >= cfg.warmup_steps)
         gate = ready.astype(jnp.float32)
+        ever_done = jnp.maximum(s.ever_done, out.done.astype(jnp.float32))
+        desync = jnp.mean(ever_done)
+        sample_rows = make_sampler(cfg, buffer, filled, tile, auto_tile,
+                                   desync)
 
         # ---- update(s) --------------------------------------------------
         def one_update(carry, k):
             actor, at, q1, q2, q1t, q2t, oa, oq, upd = carry
             k_s, k_tgt = jax.random.split(k)
-            rows = buffer_sample(buffer, jnp.maximum(filled, 1), k_s,
-                                 cfg.batch_size, tile=tile)
+            rows = sample_rows(k_s)
             (qloss, (q_mean, tgt_mean)), qg = jax.value_and_grad(
                 critic_loss, has_aux=True
             )(_qdict(cfg, q1, q2), cfg, env, rows, (q1t, q2t), k_tgt, at, cd)
@@ -304,6 +339,7 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
         met["mean_reward"] = jnp.mean(out.reward)
         met["done_frac"] = jnp.mean(out.done.astype(jnp.float32))
         met["buffer_filled"] = filled.astype(jnp.float32)
+        met["desync_frac"] = desync
         if axis_name is not None:
             met = jax.lax.pmean(met, axis_name)
 
@@ -312,7 +348,7 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
             q1_target=q1t, q2_target=q2t, opt_actor=oa, opt_q=oq,
             buffer=buffer, ptr=ptr, filled=filled,
             env_states=out.state.T, key=key, total_steps=total,
-            updates=upd,
+            updates=upd, ever_done=ever_done,
         )
         return new, met
 
@@ -337,6 +373,7 @@ def _shard_specs(cfg: Td3Config):
         q2_target=q2_spec, opt_actor=rep, opt_q=rep,
         buffer=P(None, BATCH_AXIS), ptr=rep, filled=rep,
         env_states=P(BATCH_AXIS), key=rep, total_steps=rep, updates=rep,
+        ever_done=P(BATCH_AXIS),
     )
 
 
