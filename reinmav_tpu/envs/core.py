@@ -91,6 +91,14 @@ class EnvDef:
     # the gym adapter exposes as ``action_space``.
     action_low_phys: Optional[tuple] = None
     action_high_phys: Optional[tuple] = None
+    # True when reset_fn ignores its PRNG key (the tpuquad family resets
+    # to the XML keyframe, ``mujoco_quad.py:65-69``).  Consumers: replay
+    # samplers must NOT use same-iteration tile sampling on these envs —
+    # deterministic resets keep reset cohorts near-identical, and a
+    # measured 20M-step hover run at grad_steps=16 collapses with
+    # 128-wide tiles (eval 18526 -> 5617) even after every env has
+    # terminated once (rl/sac.py resolve_sample_tile).
+    deterministic_reset: bool = False
 
     def physical_action_bounds(self):
         """(low, high) the squashing learners map tanh outputs onto:
@@ -341,14 +349,18 @@ def control_rollout(env: EnvDef, init_states, key, horizon: int, auto_reset: boo
 
 def _fused_kernel_registry():
     """name -> (ops module, step_fn, control_fn|None, reset_fn,
-    default Params): the SINGLE source of truth for which module
-    functions and default parameters each fused Pallas kernel bakes in.
-    Consulted by BOTH :func:`throughput_rollout`'s refusal dispatch and
+    default Params, params_pack|None): the SINGLE source of truth for
+    which module functions each fused Pallas kernel bakes in, and how
+    its live Params travel.  Consulted by BOTH
+    :func:`throughput_rollout`'s refusal dispatch and
     ``rl/ppo._fused_rollout_enabled`` so the two gates cannot drift
     (previously two hand-maintained elif chains).  ``control_fn`` is
     None where the kernel does not embed the classical controller
     (reinmav-v0 bakes its own in-kernel controller; the tpuquad kernels
-    step fixed/zero actions)."""
+    step fixed/zero actions).  ``params_pack`` maps env Params to the
+    kernel's SMEM f32 vector (r3 verdict #2: param sweeps keep the fast
+    path); None = the kernel still bakes defaults and non-default
+    params are refused."""
     from ..ops import (pallas_reinmav, pallas_rollout, pallas_slungload,
                        pallas_tpuquad)
     from . import (quadrotor2d, quadrotor2d_slungload, quadrotor3d,
@@ -357,48 +369,60 @@ def _fused_kernel_registry():
     return {
         "quadrotor3d-v0": (pallas_rollout, quadrotor3d.step,
                            quadrotor3d.control, quadrotor3d.reset,
-                           quadrotor3d.Params()),
+                           quadrotor3d.Params(),
+                           pallas_rollout.quad3d_params_vec),
         "reinmav-v0": (pallas_reinmav, reinmav13.step, None,
-                       reinmav13.reset, reinmav13.Params()),
+                       reinmav13.reset, reinmav13.Params(), None),
         "quadrotor3d-slungload-v0": (
             pallas_slungload, quadrotor3d_slungload.step,
             quadrotor3d_slungload.control, quadrotor3d_slungload.reset,
-            quadrotor3d_slungload.Params()),
+            quadrotor3d_slungload.Params(),
+            pallas_slungload.slung3d_params_vec),
         "quadrotor2d-slungload-v0": (
             pallas_slungload, quadrotor2d_slungload.step,
             quadrotor2d_slungload.control, quadrotor2d_slungload.reset,
-            quadrotor2d_slungload.Params()),
+            quadrotor2d_slungload.Params(),
+            pallas_slungload.slung2d_params_vec),
         "quadrotor2d-v0": (pallas_rollout, quadrotor2d.step,
                            quadrotor2d.control, quadrotor2d.reset,
-                           quadrotor2d.Params()),
+                           quadrotor2d.Params(),
+                           pallas_rollout.quad2d_params_vec),
         "MujocoQuadForce-v1": (pallas_tpuquad, tpuquad.hovering_step, None,
                                tpuquad.hovering_reset,
-                               tpuquad.Params(init_z=1.0)),
+                               tpuquad.Params(init_z=1.0),
+                               pallas_tpuquad.hover_params_vec),
         "MujocoQuadForce-v0": (pallas_tpuquad, tpuquad.force_step, None,
-                               tpuquad.force_reset, tpuquad.Params()),
+                               tpuquad.force_reset, tpuquad.Params(), None),
         "MujocoQuadQuat-v0": (pallas_tpuquad, tpuquad._quat_env_step, None,
-                              tpuquad.quat_reset, tpuquad.QuatParams()),
+                              tpuquad.quat_reset, tpuquad.QuatParams(),
+                              None),
     }
 
 
-def fused_kernel_mismatch(env: EnvDef, require_control: bool = True):
+def fused_kernel_mismatch(env: EnvDef, require_control: bool = True,
+                          packed_params: bool = False):
     """Why a fused Pallas kernel would NOT reproduce ``env``'s semantics
     (None = eligible).  The kernels bake in the registry's module
-    functions AND default params, so a wrapped env (same name, replaced
-    fns) or custom params must be refused, not silently run with
-    default physics.  ``require_control=False`` skips the classical-
-    controller identity check (the PPO fused rollout replaces the
-    controller with the policy)."""
+    FUNCTIONS, so a wrapped env (same name, replaced fns) is refused by
+    identity.  Params: with ``packed_params=True`` (the THROUGHPUT
+    kernels, which take the live Params as an SMEM vector) any param
+    values are accepted when the registry entry has a ``params_pack``;
+    otherwise — and for the policy-driven kernels (PPO fused rollout,
+    off-policy fused collection), which still bake defaults — any
+    non-default params are refused rather than silently running default
+    physics.  ``require_control=False`` skips the classical-controller
+    identity check (policy-driven kernels replace the controller)."""
     entry = _fused_kernel_registry().get(env.name)
     if entry is None:
         return f"no fused kernel for {env.name}"
-    ops, step_fn, control_fn, reset_fn, default_params = entry
+    ops, step_fn, control_fn, reset_fn, default_params, pack = entry
     fns_ok = env.step_fn is step_fn and env.reset_fn is reset_fn
     if require_control and control_fn is not None:
         fns_ok = fns_ok and env.control_fn is control_fn
     if not fns_ok:
         return "env step/control/reset fns are wrapped or replaced"
-    if env.params != default_params:
+    if ((pack is None or not packed_params)
+            and env.params != default_params):
         return "non-default params (kernel bakes in defaults)"
     if not ops.available():
         return "pallas unavailable on this platform"
@@ -433,8 +457,10 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
     def pallas_mismatch() -> str | None:
         """Why the fused kernel would NOT reproduce this env's semantics
         (None = eligible) — the shared registry check plus the batch
-        constraint local to this entry point."""
-        reason = fused_kernel_mismatch(env)
+        constraint local to this entry point.  ``packed_params``: the
+        throughput kernels take the live Params through SMEM, so any
+        param values keep the fast path (parameterised entries)."""
+        reason = fused_kernel_mismatch(env, packed_params=True)
         if reason is not None:
             return reason
         if init_states.shape[0] % 4096 != 0:
@@ -474,9 +500,12 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
 
             # Zero-action stepping with deterministic auto-reset — the
             # same semantics as the scan fallback (_zero_action_rollout).
+            # Live env Params ride in through the SMEM vector.
             final_t, reward_sum = pallas_tpuquad.hover_rollout_pallas8(
                 init_states.T.astype(jnp.float32), horizon,
                 tile8=min(256, init_states.shape[0] // 8),
+                params_vec=pallas_tpuquad.hover_params_vec(env.params),
+                frame_skip=env.params.frame_skip,
             )
             return final_t.T, reward_sum
         if env.name in ("MujocoQuadForce-v0", "MujocoQuadQuat-v0"):
@@ -497,20 +526,23 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
             final_t, reward_sum = pallas_rollout.quad2d_rollout_autoreset_pallas8(
                 init_states.T.astype(jnp.float32), seed, horizon,
                 tile8=min(512, init_states.shape[0] // 8),
+                params_vec=pallas_rollout.quad2d_params_vec(env.params),
             )
             return final_t.T, reward_sum
         if env.name.endswith("slungload-v0"):
             from ..ops import pallas_slungload
 
-            kern = (
-                pallas_slungload.slung3d_rollout_pallas8
-                if "3d" in env.name
-                else pallas_slungload.slung2d_rollout_pallas8
-            )
+            if "3d" in env.name:
+                kern = pallas_slungload.slung3d_rollout_pallas8
+                pvec = pallas_slungload.slung3d_params_vec(env.params)
+            else:
+                kern = pallas_slungload.slung2d_rollout_pallas8
+                pvec = pallas_slungload.slung2d_params_vec(env.params)
             seed = jax.random.randint(key, (), 0, 2**31 - 1)
             final_t, reward_sum = kern(
                 init_states.T.astype(jnp.float32), seed, horizon,
                 tile8=min(256, init_states.shape[0] // 8),
+                params_vec=pvec,
             )
             return final_t.T, reward_sum
         from ..ops import pallas_rollout
@@ -519,6 +551,7 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
         final_t, reward_sum = pallas_rollout.quad3d_rollout_autoreset_pallas8(
             init_states.T.astype(jnp.float32), seed, horizon,
             tile8=min(512, init_states.shape[0] // 8),
+            params_vec=pallas_rollout.quad3d_params_vec(env.params),
         )
         return final_t.T, reward_sum
     if dense8 is None:

@@ -371,6 +371,7 @@ def make_force_ground(params: Params | None = None) -> EnvDef:
         reset_fn=force_reset if p.init_z == 0.0 else _deterministic_reset(p.init_z),
         action_low=0.0,
         action_high=1.0,
+        deterministic_reset=True,
     )
 
 
@@ -386,6 +387,7 @@ def make_hovering(params: Params | None = None) -> EnvDef:
         reset_fn=hovering_reset if p.init_z == 1.0 else _deterministic_reset(p.init_z),
         action_low=0.0,
         action_high=1.0,
+        deterministic_reset=True,
     )
 
 
@@ -401,4 +403,5 @@ def make_quat(params: QuatParams | None = None) -> EnvDef:
         reset_fn=quat_reset if p.init_z == 0.0 else _deterministic_reset(p.init_z),
         action_low=-1.0,
         action_high=4.0,
+        deterministic_reset=True,
     )

@@ -29,7 +29,11 @@ try:
 except ImportError:  # pragma: no cover
     _PALLAS = False
 
-# Physics / controller constants (envs/quadrotor3d.py Params defaults).
+# Physics / controller constants (envs/quadrotor3d.py Params defaults) —
+# used by the legacy non-dense kernels below; the dense8 production
+# entries read the live env Params from an SMEM vector instead (r3
+# verdict #2: baked-in params silently cost the fused tier on any
+# param sweep).
 _DT = 0.01
 _GZ = -9.8
 _REF_Z = 2.0
@@ -38,6 +42,53 @@ _KV = -4.0
 _TAU = 0.3
 _POS_LIM = 3.0
 _VEL_LIM = 10.0
+
+
+# --- SMEM params plumbing ---------------------------------------------------
+# Flat float NamedTuple Params ride into the kernels as an SMEM f32
+# vector in FIELD ORDER; in-kernel they are read back by name so a
+# field reorder cannot silently mis-wire a constant.
+
+
+def flat_params_vec(p, fields) -> jnp.ndarray:
+    """Flat float NamedTuple -> (P,) f32 vector (field-order drift is a
+    hard error, not a silent mis-read)."""
+    if type(p)._fields != tuple(fields):
+        raise ValueError(
+            f"params fields {type(p)._fields} != kernel table {fields}")
+    return jnp.asarray(tuple(float(v) for v in p), jnp.float32)
+
+
+def _read_params(fields, p_ref):
+    """SMEM vector -> {field: scalar} (trace-time dict of scalar reads)."""
+    return {n: p_ref[i] for i, n in enumerate(fields)}
+
+
+#: envs/quadrotor3d.Params field order (pinned by flat_params_vec).
+_Q3_FIELDS = ("mass", "dt", "gravity", "ref_x", "ref_y", "ref_z",
+              "pos_limit", "vel_limit", "kp", "kv", "tau")
+#: envs/quadrotor2d.Params field order.
+_Q2_FIELDS = ("mass", "dt", "gravity", "ref_x", "ref_z", "pos_limit",
+              "vel_limit", "kp", "kv", "tau", "thrust_scale")
+
+
+def quad3d_params_vec(p=None) -> jnp.ndarray:
+    from ..envs.quadrotor3d import Params
+
+    return flat_params_vec(p or Params(), _Q3_FIELDS)
+
+
+def quad2d_params_vec(p=None) -> jnp.ndarray:
+    from ..envs.quadrotor2d import Params
+
+    return flat_params_vec(p or Params(), _Q2_FIELDS)
+
+
+def _q3_defaults():
+    """Module-constant param dict (the legacy kernels' baked values)."""
+    return dict(mass=1.0, dt=_DT, gravity=_GZ, ref_x=0.0, ref_y=0.0,
+                ref_z=_REF_Z, pos_limit=_POS_LIM, vel_limit=_VEL_LIM,
+                kp=_KP, kv=_KV, tau=_TAU)
 
 
 def _closed_loop_step(s):
@@ -182,50 +233,27 @@ def _rollout_autoreset_kernel(horizon, seed_ref, s_ref, out_ref, rew_ref):
     rew_ref[:, :] = rew
 
 
-def _rollout_autoreset_kernel8(horizon, seed_ref, s_ref, out_ref, rew_ref):
-    """Sublane-dense variant: the caller reshapes (10, B) state to
-    (80, B/8) so each component occupies a full (8, B/8) tile — the
-    (1, tile) rows of the base kernel use only 1 of the VPU's 8 sublanes.
-    Elementwise semantics are per-column-position, so the reinterpretation
-    is transparent."""
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-
-    def rows(s, i):
-        return s[8 * i : 8 * (i + 1)]
-
-    def body(_, carry):
-        s, rew_acc = carry
-        # Reuse the same math by viewing the (80, bt) block as a (10, 8*bt)
-        # component-major layout: build a list of (8, bt) component tiles.
-        new_s, reward = _closed_loop_step_tiles([rows(s, i) for i in range(10)])
-        pn2 = new_s[0] ** 2 + new_s[1] ** 2 + new_s[2] ** 2
-        vn2 = new_s[7] ** 2 + new_s[8] ** 2 + new_s[9] ** 2
-        done = (pn2 > _POS_LIM * _POS_LIM) | (vn2 > _VEL_LIM * _VEL_LIM)
-        draw = _uniform_pm1((80,) + new_s[0].shape[1:])
-        stacked = jnp.concatenate(new_s, axis=0)
-        stacked = jnp.where(jnp.tile(done, (10, 1)), draw, stacked)
-        return stacked, rew_acc + reward
-
-    s0 = s_ref[:, :]
-    rew0 = jnp.zeros((8,) + s0.shape[1:], s0.dtype)
-    s_final, rew = jax.lax.fori_loop(0, horizon, body, (s0, rew0))
-    out_ref[:, :] = s_final
-    rew_ref[:, :] = rew
+def _q3_prep(p_ref):
+    """SMEM vector -> quad3d param dict (once per kernel invocation)."""
+    return _read_params(_Q3_FIELDS, p_ref)
 
 
 def tilt_controller_tiles(px, py, pz, qw, qx, qy, qz, vx, vy, vz,
-                          ref_z=_REF_Z, kp=_KP, kv=_KV, tau=_TAU, gz=_GZ):
+                          ref_z=_REF_Z, kp=_KP, kv=_KV, tau=_TAU, gz=_GZ,
+                          ref_x=0.0, ref_y=0.0):
     """Geometric/tilt controller on component tiles (any tile shape):
     desired-accel PD → Gram-Schmidt frame → pyquaternion `_from_matrix`
     branch select → quaternion-error rate command
     (``envs/quadrotor3d.py:control``, reference ``quadrotor3d.py:126-180``).
+    Gains/refs may be Python floats (baked) or traced SMEM scalars
+    (parameterised kernels).
 
     Returns ``(thrust, wx_cmd, wy_cmd, wz_cmd, bzx, bzy, bzz, inv_qn)``
     where ``bz*`` is the body-z of the NORMALISED quat (shared with the
     dynamics) and ``inv_qn`` is 1/|q|.
     """
-    ax = kp * px + kv * vx
-    ay = kp * py + kv * vy
+    ax = kp * (px - ref_x) + kv * vx
+    ay = kp * (py - ref_y) + kv * vy
     az = kp * (pz - ref_z) + kv * vz - gz
 
     an = jax.lax.rsqrt(ax * ax + ay * ay + az * az)
@@ -279,27 +307,36 @@ def tilt_controller_tiles(px, py, pz, qw, qx, qy, qz, vx, vy, vz,
     return thrust, wx_cmd, wy_cmd, wz_cmd, bzx, bzy, bzz, inv_qn
 
 
-def _closed_loop_step_tiles(comp):
+def _closed_loop_step_tiles(comp, pv=None):
     """The closed-loop step on a list of 10 (8, bt) component tiles.
     Identical math to :func:`_closed_loop_step` (which operates on (1, bt)
-    rows); returns (list of 10 tiles, reward tile)."""
+    rows); ``pv``: param dict (Python floats or traced SMEM scalars),
+    default = the baked module constants.  Returns
+    (list of 10 tiles, done tile, reward tile)."""
+    pv = pv or _q3_defaults()
     px, py, pz, qw, qx, qy, qz, vx, vy, vz = comp
+    dt, gz = pv["dt"], pv["gravity"]
+    inv_m = 1.0 / pv["mass"]
 
     thrust, wx_cmd, wy_cmd, wz_cmd, bzx, bzy, bzz, inv_qn = tilt_controller_tiles(
-        px, py, pz, qw, qx, qy, qz, vx, vy, vz
+        px, py, pz, qw, qx, qy, qz, vx, vy, vz,
+        ref_z=pv["ref_z"], kp=pv["kp"], kv=pv["kv"], tau=pv["tau"], gz=gz,
+        ref_x=pv["ref_x"], ref_y=pv["ref_y"],
     )
 
-    accx = thrust * bzx
-    accy = thrust * bzy
-    accz = thrust * bzz + _GZ
+    # envs/quadrotor3d.py:step — acc = (T/m)·R ẑ + g (reference
+    # quadrotor3d.py:96; the controller's thrust is mass-blind).
+    accx = thrust * inv_m * bzx
+    accy = thrust * inv_m * bzy
+    accz = thrust * inv_m * bzz + gz
 
-    npx = px + vx * _DT + 0.5 * accx * _DT * _DT
-    npy = py + vy * _DT + 0.5 * accy * _DT * _DT
-    npz = pz + vz * _DT + 0.5 * accz * _DT * _DT
-    nvx, nvy, nvz = vx + accx * _DT, vy + accy * _DT, vz + accz * _DT
+    npx = px + vx * dt + 0.5 * accx * dt * dt
+    npy = py + vy * dt + 0.5 * accy * dt * dt
+    npz = pz + vz * dt + 0.5 * accz * dt * dt
+    nvx, nvy, nvz = vx + accx * dt, vy + accy * dt, vz + accz * dt
 
     hw, hx, hy, hz = qw * inv_qn, qx * inv_qn, qy * inv_qn, qz * inv_qn
-    half_dt = 0.5 * _DT
+    half_dt = 0.5 * dt
     nqw = qw + half_dt * (-hx * wx_cmd - hy * wy_cmd - hz * wz_cmd)
     nqx = qx + half_dt * (hw * wx_cmd + hy * wz_cmd - hz * wy_cmd)
     nqy = qy + half_dt * (hw * wy_cmd - hx * wz_cmd + hz * wx_cmd)
@@ -307,10 +344,11 @@ def _closed_loop_step_tiles(comp):
 
     pn2 = npx * npx + npy * npy + npz * npz
     vn2 = nvx * nvx + nvy * nvy + nvz * nvz
-    done = (pn2 > _POS_LIM * _POS_LIM) | (vn2 > _VEL_LIM * _VEL_LIM)
+    done = (pn2 > pv["pos_limit"] * pv["pos_limit"]) | (
+        vn2 > pv["vel_limit"] * pv["vel_limit"])
     reward = jnp.where(done, 1.0, -jnp.sqrt(pn2))
 
-    return [npx, npy, npz, nqw, nqx, nqy, nqz, nvx, nvy, nvz], reward
+    return [npx, npy, npz, nqw, nqx, nqy, nqz, nvx, nvy, nvz], done, reward
 
 
 def available() -> bool:
@@ -385,17 +423,20 @@ def quad3d_rollout_autoreset_pallas(
 # U(-1,1)^ncomp auto-reset from the on-core PRNG.
 
 
-def make_component_kernel(step_tiles, ncomp, autoreset):
-    def kernel(horizon, seed_ref, s_ref, out_ref, rew_ref):
-        if autoreset:
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+def make_component_kernel(step_tiles, ncomp, autoreset, prep_params):
+    """``step_tiles(comp_tiles) -> (new, done, reward)`` or, with
+    params, ``step_tiles(comp_tiles, pv)`` where ``pv`` is the scalar
+    dict built ONCE per kernel invocation by ``prep_params(p_ref)`` —
+    hoisting the SMEM reads out of the horizon loop (measured ~4% on
+    quad3d when read per-iteration; the hover kernel's pattern)."""
 
+    def body_fn(step, horizon, s_ref, out_ref, rew_ref):
         def rows(s, i):
             return s[8 * i : 8 * (i + 1)]
 
         def body(_, carry):
             s, rew_acc = carry
-            new_comp, done, reward = step_tiles([rows(s, i) for i in range(ncomp)])
+            new_comp, done, reward = step([rows(s, i) for i in range(ncomp)])
             stacked = jnp.concatenate(new_comp, axis=0)
             if autoreset:
                 draw = _uniform_pm1((8 * ncomp,) + new_comp[0].shape[1:])
@@ -408,27 +449,50 @@ def make_component_kernel(step_tiles, ncomp, autoreset):
         out_ref[:, :] = s_final
         rew_ref[:, :] = rew
 
+    if prep_params is not None:
+        def kernel(horizon, seed_ref, p_ref, s_ref, out_ref, rew_ref):
+            if autoreset:
+                pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            pv = prep_params(p_ref)  # once, outside the horizon loop
+            body_fn(lambda c: step_tiles(c, pv), horizon,
+                    s_ref, out_ref, rew_ref)
+    else:
+        def kernel(horizon, seed_ref, s_ref, out_ref, rew_ref):
+            if autoreset:
+                pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            body_fn(step_tiles, horizon, s_ref, out_ref, rew_ref)
+
     return kernel
 
 
 def component_rollout(step_tiles, ncomp, states_t, seed, horizon, tile8,
-                      autoreset):
+                      autoreset, params_vec=None, prep_params=None):
     """Run a component-kernel over (ncomp, B) states; returns
-    (final (ncomp, B), reward_sum (B,))."""
+    (final (ncomp, B), reward_sum (B,)).  ``params_vec``: optional (P,)
+    f32 physics-params vector delivered to the kernel through SMEM,
+    unpacked once per invocation by ``prep_params``."""
     d, batch = states_t.shape
     assert d == ncomp and batch % (8 * tile8) == 0, (d, batch, tile8)
     b8 = batch // 8
     s_rows = states_t.reshape(8 * ncomp, b8)
     grid = (b8 // tile8,)
     seed_arr = jnp.asarray([seed], jnp.int32)
-    kernel = make_component_kernel(step_tiles, ncomp, autoreset)
+    if (params_vec is None) != (prep_params is None):
+        raise ValueError("params_vec and prep_params go together")
+    kernel = make_component_kernel(step_tiles, ncomp, autoreset, prep_params)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    args = [seed_arr]
+    if params_vec is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(params_vec.astype(jnp.float32))
+    in_specs.append(
+        pl.BlockSpec((8 * ncomp, tile8), lambda i: (0, i),
+                     memory_space=pltpu.VMEM))
+    args.append(s_rows)
     out, rew = pl.pallas_call(
         functools.partial(kernel, horizon),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8 * ncomp, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((8 * ncomp, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -437,7 +501,7 @@ def component_rollout(step_tiles, ncomp, states_t, seed, horizon, tile8,
             jax.ShapeDtypeStruct((8 * ncomp, b8), states_t.dtype),
             jax.ShapeDtypeStruct((8, b8), states_t.dtype),
         ],
-    )(seed_arr, s_rows)
+    )(*args)
     return out.reshape(ncomp, batch), rew.reshape(batch)
 
 
@@ -453,82 +517,84 @@ _VEL_LIM2 = 2.0
 _THRUST_SCALE = 10.0
 
 
-def _quad2d_step_tiles(comp):
-    """Closed-loop step on 5 component tiles [x, z, theta, vx, vz]."""
+def _quad2d_step_tiles(comp, pv=None):
+    """Closed-loop step on 5 component tiles [x, z, theta, vx, vz];
+    ``pv``: param dict (traced SMEM scalars or the baked defaults)."""
     from .pallas_reinmav import _atan2
 
+    if pv is None:
+        pv = dict(mass=1.0, dt=_DT, gravity=_GZ, ref_x=0.0, ref_z=0.0,
+                  pos_limit=_POS_LIM2, vel_limit=_VEL_LIM2, kp=_KP2,
+                  kv=_KV2, tau=_TAU2, thrust_scale=_THRUST_SCALE)
     x, z, th, vx, vz = comp
+    dt, gz = pv["dt"], pv["gravity"]
 
     # Controller (envs/quadrotor2d.py:control): PD accel + atan2 attitude
-    # + first-order rate loop; thrust in Newtons (step applies 10x, Q5).
-    dax = _KP2 * x + _KV2 * vx
-    daz = _KP2 * z + _KV2 * vz + 9.8
+    # + first-order rate loop; thrust in Newtons (step applies 10x, Q5);
+    # the +9.8 lift is the reference's hardcoded constant, NOT -gravity.
+    dax = pv["kp"] * (x - pv["ref_x"]) + pv["kv"] * vx
+    daz = pv["kp"] * (z - pv["ref_z"]) + pv["kv"] * vz + 9.8
     des_att = _atan2(daz, dax) - jnp.pi / 2
-    w = (-1.0 / _TAU2) * (th - des_att)
-    thrust_n = jnp.sqrt(dax * dax + daz * daz)  # mass = 1
+    w = (-1.0 / pv["tau"]) * (th - des_att)
+    thrust_n = pv["mass"] * jnp.sqrt(dax * dax + daz * daz)
 
-    # Dynamics (envs/quadrotor2d.py:step): 10x gain floored at 0.
-    thrust = jnp.maximum(_THRUST_SCALE * thrust_n, 0.0)
+    # Dynamics (envs/quadrotor2d.py:step): 10x gain floored at 0,
+    # acc = (T/m)·ĥ + g.
+    inv_m = 1.0 / pv["mass"]
+    thrust = jnp.maximum(pv["thrust_scale"] * thrust_n, 0.0)
     hx = jnp.cos(th + jnp.pi / 2)
     hz = jnp.sin(th + jnp.pi / 2)
-    ax = thrust * hx
-    az = thrust * hz + _GZ
+    ax = thrust * inv_m * hx
+    az = thrust * inv_m * hz + gz
 
-    nx = x + vx * _DT + 0.5 * ax * _DT * _DT  # old velocity (Q3)
-    nz = z + vz * _DT + 0.5 * az * _DT * _DT
-    nvx = vx + ax * _DT
-    nvz = vz + az * _DT
-    nth = th + w * _DT
+    nx = x + vx * dt + 0.5 * ax * dt * dt  # old velocity (Q3)
+    nz = z + vz * dt + 0.5 * az * dt * dt
+    nvx = vx + ax * dt
+    nvz = vz + az * dt
+    nth = th + w * dt
 
     pn2 = nx * nx + nz * nz
     vn2 = nvx * nvx + nvz * nvz
-    done = (pn2 > _POS_LIM2 * _POS_LIM2) | (vn2 > _VEL_LIM2 * _VEL_LIM2)
+    # envs/quadrotor2d.py done: ‖pos‖>pos_limit ∨ ‖vel‖>10 ∨ ‖vel‖>vel_limit
+    # (the hardcoded 10 is the reference's folded Q1/Q2 predicate).
+    done = (pn2 > pv["pos_limit"] * pv["pos_limit"]) | (vn2 > 100.0) | (
+        vn2 > pv["vel_limit"] * pv["vel_limit"])
     reward = jnp.where(done, 1.0, -jnp.sqrt(pn2))
     return [nx, nz, nth, nvx, nvz], done, reward
 
 
 @functools.partial(jax.jit, static_argnames=("horizon", "tile8", "autoreset"))
 def quad2d_rollout_autoreset_pallas8(states_t, seed, horizon: int,
-                                     tile8: int = 512, autoreset: bool = True):
+                                     tile8: int = 512, autoreset: bool = True,
+                                     params_vec=None):
     """Fused closed-loop quadrotor2d rollout, sublane-dense.
 
     ``states_t``: (5, B) float32, B a multiple of ``8 * tile8``.
+    ``params_vec``: optional :func:`quad2d_params_vec` output.
     Returns (final_states_t (5, B), reward_sum (B,)).
     """
-    return component_rollout(_quad2d_step_tiles, 5, states_t, seed, horizon,
-                             tile8, autoreset)
+    if params_vec is None:
+        params_vec = quad2d_params_vec()
+    return component_rollout(
+        _quad2d_step_tiles, 5, states_t, seed, horizon, tile8, autoreset,
+        params_vec=params_vec,
+        prep_params=functools.partial(_read_params, _Q2_FIELDS))
 
 
 @functools.partial(jax.jit, static_argnames=("horizon", "tile8"))
 def quad3d_rollout_autoreset_pallas8(
-    states_t: jnp.ndarray, seed, horizon: int, tile8: int = 512
+    states_t: jnp.ndarray, seed, horizon: int, tile8: int = 512,
+    params_vec=None,
 ):
     """Sublane-dense fused rollout with auto-reset.
 
-    Each of the 10 state components is viewed as an (8, B/8) tile, filling
-    all VPU sublanes (the base kernel's (1, tile) rows use 1 of 8).
-    ``states_t``: (10, B) float32 with B a multiple of ``8 * tile8``.
-    """
-    d, batch = states_t.shape
-    assert d == 10 and batch % (8 * tile8) == 0, (d, batch, tile8)
-    b8 = batch // 8
-    s80 = states_t.reshape(80, b8)  # component i -> rows 8i..8i+7
-    grid = (b8 // tile8,)
-    seed_arr = jnp.asarray([seed], jnp.int32)
-    out, rew = pl.pallas_call(
-        functools.partial(_rollout_autoreset_kernel8, horizon),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((80, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((80, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((80, b8), states_t.dtype),
-            jax.ShapeDtypeStruct((8, b8), states_t.dtype),
-        ],
-    )(seed_arr, s80)
-    return out.reshape(10, batch), rew.reshape(batch)
+    Each of the 10 state components is viewed as an (8, B/8) tile,
+    filling all VPU sublanes.  ``states_t``: (10, B) float32 with B a
+    multiple of ``8 * tile8``.  ``params_vec``: optional
+    :func:`quad3d_params_vec` output for non-default env Params (SMEM
+    scalars — the fast path survives param sweeps)."""
+    if params_vec is None:
+        params_vec = quad3d_params_vec()
+    return component_rollout(_closed_loop_step_tiles, 10, states_t, seed,
+                             horizon, tile8, autoreset=True,
+                             params_vec=params_vec, prep_params=_q3_prep)

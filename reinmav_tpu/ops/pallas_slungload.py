@@ -30,11 +30,33 @@ try:
 except ImportError:  # pragma: no cover
     _PALLAS = False
 
-from .pallas_rollout import component_rollout, tilt_controller_tiles
+from .pallas_rollout import (_read_params, component_rollout,
+                             flat_params_vec, tilt_controller_tiles)
 
 
 def available() -> bool:
     return _PALLAS
+
+
+#: envs/quadrotor3d_slungload.Params / quadrotor2d_slungload.Params field
+#: orders (pinned by flat_params_vec — a reorder is a hard error).
+_S3_FIELDS = ("mass", "load_mass", "dt", "gravity", "tether_length",
+              "pos_limit", "vel_limit", "ref_x", "ref_y", "ref_z",
+              "kp", "kv", "tau")
+_S2_FIELDS = ("mass", "load_mass", "dt", "gravity", "tether_length",
+              "pos_limit", "vel_limit", "ref_x", "ref_z", "kp", "kv", "tau")
+
+
+def slung3d_params_vec(p=None):
+    from ..envs.quadrotor3d_slungload import Params
+
+    return flat_params_vec(p or Params(), _S3_FIELDS)
+
+
+def slung2d_params_vec(p=None):
+    from ..envs.quadrotor2d_slungload import Params
+
+    return flat_params_vec(p or Params(), _S2_FIELDS)
 
 
 # --------------------------------------------------------------------------
@@ -51,14 +73,24 @@ _REF_Z3 = 1.0
 _TAU3 = 0.3
 
 
-def _slung3d_step_tiles(comp):
+def _slung3d_step_tiles(comp, pv=None):
     """One controller+dynamics step on 16 component tiles
-    [pos3, quat4, vel3, load_pos3, load_vel3]."""
+    [pos3, quat4, vel3, load_pos3, load_vel3]; ``pv``: param dict
+    (traced SMEM scalars or the baked defaults)."""
+    if pv is None:
+        pv = dict(mass=_M3, load_mass=_ML3, dt=_DT, gravity=_GZ,
+                  tether_length=_L3, pos_limit=_POS_LIM3,
+                  vel_limit=_VEL_LIM3, ref_x=0.0, ref_y=0.0,
+                  ref_z=_REF_Z3, kp=-5.0, kv=-4.0, tau=_TAU3)
+    m, ml, dt = pv["mass"], pv["load_mass"], pv["dt"]
+    gz, L = pv["gravity"], pv["tether_length"]
     (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
      lx, ly, lz, lvx, lvy, lvz) = comp
 
     thrust, wx, wy, wz, bzx, bzy, bzz, inv_qn = tilt_controller_tiles(
-        px, py, pz, qw, qx, qy, qz, vx, vy, vz, ref_z=_REF_Z3, tau=_TAU3
+        px, py, pz, qw, qx, qy, qz, vx, vy, vz, ref_z=pv["ref_z"],
+        kp=pv["kp"], kv=pv["kv"], tau=pv["tau"], gz=gz,
+        ref_x=pv["ref_x"], ref_y=pv["ref_y"],
     )
 
     # Tether geometry
@@ -67,68 +99,68 @@ def _slung3d_step_tiles(comp):
     tn = jnp.sqrt(tn2)
     inv_tn = 1.0 / jnp.where(tn > 0.0, tn, 1.0)
     ux, uy, uz = tx * inv_tn, ty * inv_tn, tz * inv_tn
-    taut = tn >= _L3
+    taut = tn >= L
 
     # ---- taut branch (pos-first Euler) -----------------------------------
     tvx, tvy, tvz = thrust * bzx, thrust * bzy, thrust * bzz
     lv2 = lvx * lvx + lvy * lvy + lvz * lvz
-    c = _M3 * _L3 * lv2  # scalar broadcast-subtracted from the vector (ref quirk)
+    c = m * L * lv2  # scalar broadcast-subtracted from the vector (ref quirk)
     proj = ux * (tvx - c) + uy * (tvy - c) + uz * (tvz - c)
-    inv_msum = 1.0 / (_M3 + _ML3)
+    inv_msum = 1.0 / (m + ml)
     lax_ = proj * ux * inv_msum
     lay_ = proj * uy * inv_msum
-    laz_ = proj * uz * inv_msum + _GZ
+    laz_ = proj * uz * inv_msum + gz
 
-    lpx_t = lx + lvx * _DT + 0.5 * lax_ * _DT * _DT  # pos FIRST (old vel)
-    lpy_t = ly + lvy * _DT + 0.5 * lay_ * _DT * _DT
-    lpz_t = lz + lvz * _DT + 0.5 * laz_ * _DT * _DT
-    lvx_t = lvx + lax_ * _DT
-    lvy_t = lvy + lay_ * _DT
-    lvz_t = lvz + laz_ * _DT
+    lpx_t = lx + lvx * dt + 0.5 * lax_ * dt * dt  # pos FIRST (old vel)
+    lpy_t = ly + lvy * dt + 0.5 * lay_ * dt * dt
+    lpz_t = lz + lvz * dt + 0.5 * laz_ * dt * dt
+    lvx_t = lvx + lax_ * dt
+    lvy_t = lvy + lay_ * dt
+    lvz_t = lvz + laz_ * dt
 
     # tension = ml * |la - g| * u
-    tmag = _ML3 * jnp.sqrt(lax_ * lax_ + lay_ * lay_ + (laz_ - _GZ) ** 2)
-    inv_m = 1.0 / _M3
+    tmag = ml * jnp.sqrt(lax_ * lax_ + lay_ * lay_ + (laz_ - gz) ** 2)
+    inv_m = 1.0 / m
     ax_t = thrust * inv_m * bzx + tmag * ux * inv_m
     ay_t = thrust * inv_m * bzy + tmag * uy * inv_m
-    az_t = thrust * inv_m * bzz + _GZ + tmag * uz * inv_m
+    az_t = thrust * inv_m * bzz + gz + tmag * uz * inv_m
 
-    px_t = px + vx * _DT + 0.5 * ax_t * _DT * _DT    # pos FIRST (old vel)
-    py_t = py + vy * _DT + 0.5 * ay_t * _DT * _DT
-    pz_t = pz + vz * _DT + 0.5 * az_t * _DT * _DT
-    vx_t = vx + ax_t * _DT
-    vy_t = vy + ay_t * _DT
-    vz_t = vz + az_t * _DT
+    px_t = px + vx * dt + 0.5 * ax_t * dt * dt    # pos FIRST (old vel)
+    py_t = py + vy * dt + 0.5 * ay_t * dt * dt
+    pz_t = pz + vz * dt + 0.5 * az_t * dt * dt
+    vx_t = vx + ax_t * dt
+    vy_t = vy + ay_t * dt
+    vz_t = vz + az_t * dt
 
     # Kinematic projection of the load onto the tether sphere
     dx, dy, dz = lpx_t - px_t, lpy_t - py_t, lpz_t - pz_t
     dn = jnp.sqrt(dx * dx + dy * dy + dz * dz)
     inv_dn = 1.0 / jnp.where(dn > 0.0, dn, 1.0)
     ddx, ddy, ddz = dx * inv_dn, dy * inv_dn, dz * inv_dn
-    lpx_t = px_t + ddx * _L3
-    lpy_t = py_t + ddy * _L3
-    lpz_t = pz_t + ddz * _L3
+    lpx_t = px_t + ddx * L
+    lpy_t = py_t + ddy * L
+    lpz_t = pz_t + ddz * L
     rad = (lvx_t - vx_t) * ddx + (lvy_t - vy_t) * ddy + (lvz_t - vz_t) * ddz
     lvx_t = lvx_t - rad * ddx
     lvy_t = lvy_t - rad * ddy
     lvz_t = lvz_t - rad * ddz
 
     # ---- slack branch ----------------------------------------------------
-    lpx_s = lx + lvx * _DT
-    lpy_s = ly + lvy * _DT
-    lpz_s = lz + lvz * _DT + 0.5 * _GZ * _DT * _DT
+    lpx_s = lx + lvx * dt
+    lpy_s = ly + lvy * dt
+    lpz_s = lz + lvz * dt + 0.5 * gz * dt * dt
     lvx_s, lvy_s = lvx, lvy
-    lvz_s = lvz + _GZ * _DT
+    lvz_s = lvz + gz * dt
 
     ax_s = thrust * inv_m * bzx
     ay_s = thrust * inv_m * bzy
-    az_s = thrust * inv_m * bzz + _GZ
-    px_s = px + vx * _DT + 0.5 * ax_s * _DT * _DT
-    py_s = py + vy * _DT + 0.5 * ay_s * _DT * _DT
-    pz_s = pz + vz * _DT + 0.5 * az_s * _DT * _DT
-    vx_s = vx + ax_s * _DT
-    vy_s = vy + ay_s * _DT
-    vz_s = vz + az_s * _DT
+    az_s = thrust * inv_m * bzz + gz
+    px_s = px + vx * dt + 0.5 * ax_s * dt * dt
+    py_s = py + vy * dt + 0.5 * ay_s * dt * dt
+    pz_s = pz + vz * dt + 0.5 * az_s * dt * dt
+    vx_s = vx + ax_s * dt
+    vy_s = vy + ay_s * dt
+    vz_s = vz + az_s * dt
 
     # ---- select + shared quaternion update -------------------------------
     npx = jnp.where(taut, px_t, px_s)
@@ -145,7 +177,7 @@ def _slung3d_step_tiles(comp):
     nlvz = jnp.where(taut, lvz_t, lvz_s)
 
     hw, hx, hy, hz = qw * inv_qn, qx * inv_qn, qy * inv_qn, qz * inv_qn
-    half_dt = 0.5 * _DT
+    half_dt = 0.5 * dt
     nqw = qw + half_dt * (-hx * wx - hy * wy - hz * wz)
     nqx = qx + half_dt * (hw * wx + hy * wz - hz * wy)
     nqy = qy + half_dt * (hw * wy - hx * wz + hz * wx)
@@ -153,7 +185,7 @@ def _slung3d_step_tiles(comp):
 
     lpn2 = nlx * nlx + nly * nly + nlz * nlz
     vn2 = nvx * nvx + nvy * nvy + nvz * nvz
-    done = (lpn2 > _POS_LIM3 * _POS_LIM3) | (vn2 > _VEL_LIM3 * _VEL_LIM3)
+    done = (lpn2 > pv["pos_limit"] * pv["pos_limit"]) | (vn2 > pv["vel_limit"] * pv["vel_limit"])
     reward = jnp.where(done, 1.0, -jnp.sqrt(lpn2))
 
     return [npx, npy, npz, nqw, nqx, nqy, nqz, nvx, nvy, nvz,
@@ -173,19 +205,28 @@ _KP = -5.0
 _KV = -4.0
 
 
-def _slung2d_step_tiles(comp):
+def _slung2d_step_tiles(comp, pv=None):
     """One controller+dynamics step on 9 component tiles
-    [x, z, theta, vx, vz, lx, lz, lvx, lvz] (velocity-first Euler, Q3)."""
+    [x, z, theta, vx, vz, lx, lz, lvx, lvz] (velocity-first Euler,
+    Q3); ``pv``: param dict (traced SMEM scalars or the baked
+    defaults)."""
+    if pv is None:
+        pv = dict(mass=_M2, load_mass=_ML2, dt=_DT, gravity=_GZ,
+                  tether_length=_L2, pos_limit=_POS_LIM2,
+                  vel_limit=_VEL_LIM2, ref_x=0.0, ref_z=0.0,
+                  kp=_KP, kv=_KV, tau=_TAU2)
+    m, ml, dt = pv["mass"], pv["load_mass"], pv["dt"]
+    gz, L = pv["gravity"], pv["tether_length"]
     from .pallas_reinmav import _atan2
 
     x, z, th, vx, vz, lx, lz, lvx, lvz = comp
 
     # ---- PD controller (envs/quadrotor2d_slungload.py:control) ----------
-    dax = _KP * x + _KV * vx
-    daz = _KP * z + _KV * vz + 9.8
+    dax = pv["kp"] * (x - pv["ref_x"]) + pv["kv"] * vx
+    daz = pv["kp"] * (z - pv["ref_z"]) + pv["kv"] * vz + 9.8
     des_att = _atan2(daz, dax) - jnp.pi / 2
-    w = (-1.0 / _TAU2) * (th - des_att)
-    thrust = _M2 * jnp.sqrt(dax * dax + daz * daz)
+    w = (-1.0 / pv["tau"]) * (th - des_att)
+    thrust = m * jnp.sqrt(dax * dax + daz * daz)
 
     hx = jnp.cos(th + jnp.pi / 2)
     hz = jnp.sin(th + jnp.pi / 2)
@@ -194,53 +235,53 @@ def _slung2d_step_tiles(comp):
     tn = jnp.sqrt(tx * tx + tz * tz)
     inv_tn = 1.0 / jnp.where(tn > 0.0, tn, 1.0)
     ux, uz = tx * inv_tn, tz * inv_tn
-    taut = tn >= _L2
+    taut = tn >= L
 
     # ---- taut branch (velocity-first Euler) ------------------------------
     tvx, tvz = thrust * hx, thrust * hz
     lv2 = lvx * lvx + lvz * lvz
-    c = _M2 * _L2 * lv2
+    c = m * L * lv2
     proj = ux * (tvx - c) + uz * (tvz - c)
-    inv_msum = 1.0 / (_M2 + _ML2)
+    inv_msum = 1.0 / (m + ml)
     lax_ = proj * ux * inv_msum
-    laz_ = proj * uz * inv_msum + _GZ
+    laz_ = proj * uz * inv_msum + gz
 
-    lvx_t = lvx + lax_ * _DT                     # velocity FIRST
-    lvz_t = lvz + laz_ * _DT
-    lpx_t = lx + lvx_t * _DT + 0.5 * lax_ * _DT * _DT
-    lpz_t = lz + lvz_t * _DT + 0.5 * laz_ * _DT * _DT
+    lvx_t = lvx + lax_ * dt                     # velocity FIRST
+    lvz_t = lvz + laz_ * dt
+    lpx_t = lx + lvx_t * dt + 0.5 * lax_ * dt * dt
+    lpz_t = lz + lvz_t * dt + 0.5 * laz_ * dt * dt
 
-    tmag = _ML2 * jnp.sqrt(lax_ * lax_ + (laz_ - _GZ) ** 2)
-    inv_m = 1.0 / _M2
+    tmag = ml * jnp.sqrt(lax_ * lax_ + (laz_ - gz) ** 2)
+    inv_m = 1.0 / m
     ax_t = thrust * inv_m * hx + tmag * ux * inv_m
-    az_t = thrust * inv_m * hz + _GZ + tmag * uz * inv_m
-    vx_t = vx + ax_t * _DT                       # velocity FIRST
-    vz_t = vz + az_t * _DT
-    px_t = x + vx_t * _DT + 0.5 * ax_t * _DT * _DT
-    pz_t = z + vz_t * _DT + 0.5 * az_t * _DT * _DT
+    az_t = thrust * inv_m * hz + gz + tmag * uz * inv_m
+    vx_t = vx + ax_t * dt                       # velocity FIRST
+    vz_t = vz + az_t * dt
+    px_t = x + vx_t * dt + 0.5 * ax_t * dt * dt
+    pz_t = z + vz_t * dt + 0.5 * az_t * dt * dt
 
     dx, dz = lpx_t - px_t, lpz_t - pz_t
     dn = jnp.sqrt(dx * dx + dz * dz)
     inv_dn = 1.0 / jnp.where(dn > 0.0, dn, 1.0)
     ddx, ddz = dx * inv_dn, dz * inv_dn
-    lpx_t = px_t + ddx * _L2
-    lpz_t = pz_t + ddz * _L2
+    lpx_t = px_t + ddx * L
+    lpz_t = pz_t + ddz * L
     rad = (lvx_t - vx_t) * ddx + (lvz_t - vz_t) * ddz
     lvx_t = lvx_t - rad * ddx
     lvz_t = lvz_t - rad * ddz
 
     # ---- slack branch ----------------------------------------------------
     lvx_s = lvx
-    lvz_s = lvz + _GZ * _DT
-    lpx_s = lx + lvx_s * _DT
-    lpz_s = lz + lvz_s * _DT + 0.5 * _GZ * _DT * _DT
+    lvz_s = lvz + gz * dt
+    lpx_s = lx + lvx_s * dt
+    lpz_s = lz + lvz_s * dt + 0.5 * gz * dt * dt
 
     ax_s = thrust * inv_m * hx
-    az_s = thrust * inv_m * hz + _GZ
-    vx_s = vx + ax_s * _DT
-    vz_s = vz + az_s * _DT
-    px_s = x + vx_s * _DT + 0.5 * ax_s * _DT * _DT
-    pz_s = z + vz_s * _DT + 0.5 * az_s * _DT * _DT
+    az_s = thrust * inv_m * hz + gz
+    vx_s = vx + ax_s * dt
+    vz_s = vz + az_s * dt
+    px_s = x + vx_s * dt + 0.5 * ax_s * dt * dt
+    pz_s = z + vz_s * dt + 0.5 * az_s * dt * dt
 
     # ---- select ----------------------------------------------------------
     nx = jnp.where(taut, px_t, px_s)
@@ -251,11 +292,11 @@ def _slung2d_step_tiles(comp):
     nlz = jnp.where(taut, lpz_t, lpz_s)
     nlvx = jnp.where(taut, lvx_t, lvx_s)
     nlvz = jnp.where(taut, lvz_t, lvz_s)
-    nth = th + w * _DT
+    nth = th + w * dt
 
     lpn2 = nlx * nlx + nlz * nlz
     lvn2 = nlvx * nlvx + nlvz * nlvz
-    done = (lpn2 > _POS_LIM2 * _POS_LIM2) | (lvn2 > _VEL_LIM2 * _VEL_LIM2)
+    done = (lpn2 > pv["pos_limit"] * pv["pos_limit"]) | (lvn2 > pv["vel_limit"] * pv["vel_limit"])
     reward = jnp.where(done, 1.0, -jnp.sqrt(nx * nx + nz * nz))
 
     return [nx, nz, nth, nvx, nvz, nlx, nlz, nlvx, nlvz], done, reward
@@ -267,23 +308,34 @@ def _slung2d_step_tiles(comp):
 
 @functools.partial(jax.jit, static_argnames=("horizon", "tile8", "autoreset"))
 def slung3d_rollout_pallas8(states_t, seed, horizon: int, tile8: int = 256,
-                            autoreset: bool = True):
+                            autoreset: bool = True, params_vec=None):
     """Fused closed-loop quadrotor3d-slungload rollout, sublane-dense.
 
     ``states_t``: (16, B) float32, B a multiple of ``8 * tile8``.
+    ``params_vec``: optional :func:`slung3d_params_vec` output (SMEM
+    scalars — the fast path survives param sweeps).
     Returns (final_states_t (16, B), reward_sum (B,)).
     """
-    return component_rollout(_slung3d_step_tiles, 16, states_t, seed, horizon,
-                             tile8, autoreset)
+    if params_vec is None:
+        params_vec = slung3d_params_vec()
+    return component_rollout(
+        _slung3d_step_tiles, 16, states_t, seed, horizon, tile8, autoreset,
+        params_vec=params_vec,
+        prep_params=functools.partial(_read_params, _S3_FIELDS))
 
 
 @functools.partial(jax.jit, static_argnames=("horizon", "tile8", "autoreset"))
 def slung2d_rollout_pallas8(states_t, seed, horizon: int, tile8: int = 256,
-                            autoreset: bool = True):
+                            autoreset: bool = True, params_vec=None):
     """Fused closed-loop quadrotor2d-slungload rollout, sublane-dense.
 
     ``states_t``: (9, B) float32, B a multiple of ``8 * tile8``.
+    ``params_vec``: optional :func:`slung2d_params_vec` output.
     Returns (final_states_t (9, B), reward_sum (B,)).
     """
-    return component_rollout(_slung2d_step_tiles, 9, states_t, seed, horizon,
-                             tile8, autoreset)
+    if params_vec is None:
+        params_vec = slung2d_params_vec()
+    return component_rollout(
+        _slung2d_step_tiles, 9, states_t, seed, horizon, tile8, autoreset,
+        params_vec=params_vec,
+        prep_params=functools.partial(_read_params, _S2_FIELDS))

@@ -75,6 +75,7 @@ _GROUND = dict(
     cz=0.003333333333333333,
     D=(0.2630508637803436, 0.25696739688998504, 0.03341656275960588),
     mu=1.0, density=1.0, viscosity=1e-5,
+    g=_G, dt=_DT,
 )
 _QUATM = dict(
     mass=0.4,
@@ -82,7 +83,34 @@ _QUATM = dict(
     cz=0.0025,
     D=(0.2355776256389572, 0.2252757916384078, 0.038568121551353786),
     mu=1.0, density=1.0, viscosity=1e-5,
+    g=_G, dt=_DT,
 )
+
+
+def hover_params_vec(p=None) -> jnp.ndarray:
+    """envs/tpuquad.Params -> the hover kernel's SMEM f32 vector (the
+    derived drag box widths are a Params field, so no host derivation;
+    explicit attribute access breaks loudly on a field rename)."""
+    if p is None:
+        from ..envs.tpuquad import Params
+
+        p = Params(init_z=1.0)
+    return jnp.asarray(
+        [p.mass, *p.inertia_diag, p.com_z, p.gravity, p.dt, p.init_z,
+         p.arm_xy, p.yaw_gear, p.ctrl_high, p.contact_friction,
+         p.density, p.viscosity, *p.box_dims], jnp.float32)
+
+
+def _hover_consts(p_ref):
+    """SMEM vector -> the _rigid_substep constants dict (traced
+    scalars), mirroring :func:`hover_params_vec`'s order."""
+    return dict(
+        mass=p_ref[0], ix=p_ref[1], iy=p_ref[2], iz=p_ref[3], cz=p_ref[4],
+        g=p_ref[5], dt=p_ref[6], init_z=p_ref[7], arm=p_ref[8],
+        yaw_gear=p_ref[9], ctrl_high=p_ref[10], mu=p_ref[11],
+        density=p_ref[12], viscosity=p_ref[13],
+        D=(p_ref[14], p_ref[15], p_ref[16]),
+    )
 
 
 def _impedance(pen):
@@ -117,7 +145,7 @@ def _rigid_substep(comp, c, total_thrust, mx_c, my_c, mz_c, servo_kv,
 
     fx = r02 * total_thrust
     fy = r12 * total_thrust
-    fz = r22 * total_thrust + _G * m
+    fz = r22 * total_thrust + c["g"] * m
     tx = mx_c + jnp.zeros_like(px)
     ty = my_c + jnp.zeros_like(px)
     tz = mz_c + jnp.zeros_like(px)
@@ -228,14 +256,14 @@ def _rigid_substep(comp, c, total_thrust, mx_c, my_c, mz_c, servo_kv,
     accy = fy / m - (r10 * uc0 + r11 * uc1 + r12 * uc2)
     accz = fz / m - (r20 * uc0 + r21 * uc1 + r22 * uc2)
 
-    nvx, nvy, nvz = vx + accx * _DT, vy + accy * _DT, vz + accz * _DT
-    nox, noy, noz = ox + odx * _DT, oy + ody * _DT, oz + odz * _DT
-    npx = px + nvx * _DT            # positions from NEW velocities
-    npy = py + nvy * _DT
-    npz = pz + nvz * _DT
+    nvx, nvy, nvz = vx + accx * c["dt"], vy + accy * c["dt"], vz + accz * c["dt"]
+    nox, noy, noz = ox + odx * c["dt"], oy + ody * c["dt"], oz + odz * c["dt"]
+    npx = px + nvx * c["dt"]            # positions from NEW velocities
+    npy = py + nvy * c["dt"]
+    npz = pz + nvz * c["dt"]
 
     # Exp-map quaternion update: q ⊗ exp(½ ω dt), renormalised.
-    rx, ry, rz = nox * _DT, noy * _DT, noz * _DT
+    rx, ry, rz = nox * c["dt"], noy * c["dt"], noz * c["dt"]
     ang = jnp.sqrt(rx * rx + ry * ry + rz * rz)
     half = 0.5 * ang
     safe = jnp.where(ang > 1e-9, ang, 1.0)
@@ -252,17 +280,26 @@ def _rigid_substep(comp, c, total_thrust, mx_c, my_c, mz_c, servo_kv,
             nvx, nvy, nvz, nox, noy, noz]
 
 
-def _hover_step_tiles(comp, raw_action):
-    """One outer env step (frame_skip=2) + hovering reward/done.
-    ``raw_action`` is the Python-constant 4-vector; dynamics use the
-    clipped control, the reward uses the RAW values (reference quirk)."""
-    ctrl = tuple(min(max(a, 0.0), 1.0) for a in raw_action)
-    total = float(sum(ctrl))
-    mx_c = _ARM * float(sum(y * u for y, u in zip(_MOTOR_Y, ctrl)))
-    my_c = -_ARM * float(sum(x * u for x, u in zip(_MOTOR_X, ctrl)))
-    mz_c = _YAW_GEAR * float(sum(s * u for s, u in zip(_YAW_SIGN, ctrl)))
-    comp = _rigid_substep(comp, _GROUND, total, mx_c, my_c, mz_c, None, None, False)
-    comp = _rigid_substep(comp, _GROUND, total, mx_c, my_c, mz_c, None, None, False)
+def _hover_step_tiles(comp, raw_action, c=_GROUND, frame_skip: int = 2):
+    """One outer env step (``frame_skip`` substeps) + hovering
+    reward/done.  ``raw_action`` is the Python-constant 4-vector;
+    dynamics use the clipped control, the reward uses the RAW values
+    (reference quirk).  ``c``: physics constants — Python floats
+    (:data:`_GROUND`) or traced SMEM scalars (:func:`_hover_consts`)."""
+    ctrl_hi = c.get("ctrl_high", 1.0)
+    arm = c.get("arm", _ARM)
+    yaw_gear = c.get("yaw_gear", _YAW_GEAR)
+    # jnp.clip keeps this valid for traced ctrl_high; with Python floats
+    # it constant-folds to the same values as the old min/max.
+    ctrl = tuple(jnp.clip(jnp.float32(a), jnp.float32(0.0), ctrl_hi)
+                 for a in raw_action)
+    total = sum(ctrl)
+    mx_c = arm * sum(y * u for y, u in zip(_MOTOR_Y, ctrl))
+    my_c = -arm * sum(x * u for x, u in zip(_MOTOR_X, ctrl))
+    mz_c = yaw_gear * sum(s * u for s, u in zip(_YAW_SIGN, ctrl))
+    for _ in range(frame_skip):
+        comp = _rigid_substep(comp, c, total, mx_c, my_c, mz_c, None, None,
+                              False)
     px, py, pz = comp[0], comp[1], comp[2]
     a_sq = float(sum(a * a for a in raw_action))
     a_sum = float(sum(raw_action))
@@ -283,20 +320,25 @@ def _hover_step_tiles(comp, raw_action):
     return comp, done, reward
 
 
-def _kernel(horizon, action, s_ref, out_ref, rew_ref):
+def _kernel(horizon, action, frame_skip, p_ref, s_ref, out_ref, rew_ref):
     ncomp = 13
+    c = _hover_consts(p_ref)
 
     def rows(s, i):
         return s[8 * i : 8 * (i + 1)]
 
+    # Deterministic reset pose: z = Params.init_z (traced), qw = 1.
+    shape = (8,) + s_ref.shape[1:]
+    zero = jnp.zeros(shape, s_ref.dtype)
     init_rows = jnp.concatenate(
-        [jnp.full((8,) + s_ref.shape[1:], v, s_ref.dtype) for v in _INIT], axis=0
+        [zero, zero, jnp.full(shape, c["init_z"], s_ref.dtype),
+         jnp.full(shape, 1.0, s_ref.dtype)] + [zero] * (ncomp - 4), axis=0
     )
 
     def body(_, carry):
         s, rew_acc = carry
         comp, done, reward = _hover_step_tiles(
-            [rows(s, i) for i in range(ncomp)], action
+            [rows(s, i) for i in range(ncomp)], action, c, frame_skip
         )
         stacked = jnp.concatenate(comp, axis=0)
         stacked = jnp.where(jnp.tile(done, (ncomp, 1)), init_rows, stacked)
@@ -387,25 +429,33 @@ def contact_rollout_pallas8(states_t: jnp.ndarray, horizon: int,
     return out.reshape(13, batch), z.reshape(batch)
 
 
-@functools.partial(jax.jit, static_argnames=("horizon", "tile8", "action"))
+@functools.partial(jax.jit, static_argnames=("horizon", "tile8", "action",
+                                              "frame_skip"))
 def hover_rollout_pallas8(states_t: jnp.ndarray, horizon: int,
                           tile8: int = 256,
-                          action: tuple = (0.0, 0.0, 0.0, 0.0)):
+                          action: tuple = (0.0, 0.0, 0.0, 0.0),
+                          params_vec=None, frame_skip: int = 2):
     """Fused MujocoQuadForce-v1 rollout with constant action + auto-reset.
 
     ``states_t``: (13, B) float32, B a multiple of ``8 * tile8``.
     ``action``: Python 4-tuple of per-motor controls (compile-time
-    constant).  Returns (final_states_t (13, B), reward_sum (B,)).
+    constant).  ``params_vec``: optional :func:`hover_params_vec` output
+    (SMEM scalars — the fast path survives param sweeps); ``frame_skip``
+    is static (loop count).  Returns (final_states_t (13, B),
+    reward_sum (B,)).
     """
     d, batch = states_t.shape
     assert d == 13 and batch % (8 * tile8) == 0, (d, batch, tile8)
+    if params_vec is None:
+        params_vec = hover_params_vec()
     b8 = batch // 8
     s_rows = states_t.reshape(104, b8)
     grid = (b8 // tile8,)
     out, rew = pl.pallas_call(
-        functools.partial(_kernel, horizon, action),
+        functools.partial(_kernel, horizon, action, frame_skip),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((104, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -416,5 +466,5 @@ def hover_rollout_pallas8(states_t: jnp.ndarray, horizon: int,
             jax.ShapeDtypeStruct((104, b8), states_t.dtype),
             jax.ShapeDtypeStruct((8, b8), states_t.dtype),
         ],
-    )(s_rows)
+    )(params_vec.astype(jnp.float32), s_rows)
     return out.reshape(13, batch), rew.reshape(batch)

@@ -7,12 +7,17 @@ representative, re-designed TPU-first rather than transcribed:
 
 * **Replay buffer lives on the TPU** as ONE feature-major ``(R, C)``
   float32 array (rows: obs, action, reward, next_obs, done) — the
-  transposed layout the whole framework uses (CLAUDE.md: feature-minor
-  lane-pads D≈20 → 128).  Inserts are ``lax.dynamic_update_slice``
-  column blocks; ``C`` is rounded to a multiple of the per-iteration
-  insert width so a write NEVER straddles the ring edge (static shapes,
-  no modular two-piece writes).  Sampling is a column gather of a
-  ``(R, batch)`` block.  Nothing ever crosses the host boundary.
+  transposed layout the whole framework uses.  Inserts are
+  ``lax.dynamic_update_slice`` column blocks; ``C`` is rounded to a
+  multiple of the per-iteration insert width so a write NEVER
+  straddles the ring edge (static shapes, no modular two-piece
+  writes).  Sampling gathers one COLUMN per transition via a vmapped
+  ``dynamic_slice`` — measured ~3.5× faster than XLA's fancy-index
+  gather at 8192 samples (benchmarks/sac_gather_probe.py; the gather
+  op pays a high per-index cost that dominates regardless of ring
+  layout — a sample-major (capacity, R) ring measured the same gather
+  time while tripling ring memory and insert traffic, so feature-major
+  stays).  Nothing ever crosses the host boundary.
 * **The entire train loop is one compiled program**: a ``lax.scan`` over
   iterations, each = one batched env step (auto-reset, transposed
   layout) + buffer insert + ``grad_steps`` gradient updates + polyak
@@ -89,23 +94,18 @@ class SacConfig(NamedTuple):
     # to the scan path, not bitwise (differential test pins the ε→0
     # limit bitwise; tests/test_pallas_offpolicy.py).
     fused_collect: str = "auto"
-    # Replay-sampling granularity: draw ``batch_size/sample_tile`` random
-    # contiguous column BLOCKS instead of batch_size scattered columns.
-    # Scattered single-column gathers from the (R, C) ring read 4-byte
-    # granules; 128-wide tiles read full lanes (measured +19% on the
-    # 65536-env hover config).  Within a tile the samples are DISTINCT
-    # ENVS inserted at the same iteration — i.i.d. ONLY once resets have
-    # desynchronised the batch.  For deterministic-reset envs (the
-    # tpuquad family) the batch starts PHASE-LOCKED and tiles are
-    # near-duplicates: a measured 60M-step hover run at tile=128 never
-    # reached survival while tile=1 solves it (the ppo shuffle_tile
-    # caveat, live).  Default "auto": start at tile=1 and switch
-    # in-graph to tile=128 once ≥90% of envs have terminated at least
-    # once (episode boundaries land at noise-determined iterations, so
-    # that fraction IS the desynchronisation signal — the ``ever_done``
-    # carry) — capturing the +19% without the early-training pathology.
-    # An int forces that granularity unconditionally (1 = exact uniform
-    # sampling always).
+    # Replay-sampling granularity.  "auto" (default) = exact uniform
+    # tile=1 — the r4 vmapped-dynamic-slice gather made scattered
+    # sampling ~3.5x cheaper (see buffer_sample), so correlated tiles
+    # no longer buy a worthwhile speedup, and they measurably HURT:
+    # tile>1 gathers contiguous column blocks = same-iteration env
+    # cohorts, NOT i.i.d. — on the deterministic-reset hover env a
+    # 60M-step tile=128 run never reached survival (r3), and at
+    # grad_steps=16 tile=128 AND tile=8 drop a solving 20M-step run
+    # from survival 1.0 (r4, two seeds, results.json
+    # sac_tile_learning_ab) even gated on every env having terminated
+    # once — reset cohorts stay correlated.  The int knob remains for
+    # experiments on stochastic-reset envs only.
     sample_tile: int | str = "auto"
 
 
@@ -126,7 +126,7 @@ class SacState(NamedTuple):
     key: jax.Array
     total_steps: jnp.ndarray  # int64-safe int32 env-step counter
     ever_done: jnp.ndarray   # (B,) f32: 1 once the env has terminated at
-    #                          least once — the sample_tile="auto" gate
+    #                          least once (the desync_frac metric)
 
 
 # ---------------------------------------------------------------------------
@@ -361,28 +361,39 @@ def buffer_insert(buffer, ptr, filled, block):
 
 
 def buffer_sample(buffer, filled, key, batch: int, tile: int = 1):
-    """Uniform (R, batch) column gather from the filled prefix.
+    """Uniform (R, batch) column sample from the filled prefix, gathered
+    as one vmapped single-column ``dynamic_slice`` per transition —
+    identical samples to a fancy-index gather, ~3.5× faster lowering on
+    TPU (measured 0.12 vs 0.43 ms per 8192-sample gather,
+    benchmarks/sac_gather_probe.py: XLA's gather op pays a high
+    per-index cost that the slice loop avoids).
 
     ``tile > 1``: gather ``batch/tile`` random contiguous (R, tile)
-    blocks instead (lane-width reads; see SacConfig.sample_tile).  The
-    caller guarantees ``tile | batch`` and ``tile | filled`` (inserts
-    are num_envs-wide and ``num_envs % tile == 0`` is validated at
-    trace time), so whole tiles are always fully-filled columns."""
+    blocks instead — same-iteration env cohorts, NOT i.i.d.: measured
+    collapses on the deterministic-reset hover env (r3: a 60M-step
+    tile=128 run never reached survival; r4: at grad_steps=16 tile=128
+    AND tile=8 drop a solving run from survival 1.0, seeds committed in
+    results.json).  Kept for experiments on stochastic-reset envs only.
+    """
     # uniform * filled (floor) instead of randint: dynamic maxval without
     # host involvement; the modulo bias at 2^-24 granularity is nil.
     if tile <= 1:
         u = jax.random.uniform(key, (batch,), jnp.float32)
         idx = jnp.minimum((u * filled.astype(jnp.float32)).astype(jnp.int32),
                           filled - 1)
-        return buffer[:, idx]
+        cols = jax.vmap(
+            lambda i: jax.lax.dynamic_slice(
+                buffer, (jnp.zeros((), idx.dtype), i),
+                (buffer.shape[0], 1))
+        )(idx)                               # (batch, R, 1)
+        return jnp.moveaxis(cols[:, :, 0], 0, 1)
     n = batch // tile
     n_filled = jnp.maximum(filled // tile, 1)  # pre-warmup: gate is closed
     u = jax.random.uniform(key, (n,), jnp.float32)
     idx = jnp.minimum((u * n_filled.astype(jnp.float32)).astype(jnp.int32),
                       n_filled - 1)
     # vmapped dynamic_slice lowers to a (R, tile)-slice gather — no
-    # relayout of the big ring (a reshape-to-(R, C/tile, tile) would
-    # re-tile 100s of MB).
+    # relayout of the big ring.
     blocks = jax.vmap(
         lambda i: jax.lax.dynamic_slice(
             buffer, (jnp.zeros((), idx.dtype), i * tile),
@@ -602,14 +613,13 @@ def init_state(env: EnvDef, cfg: SacConfig, key: jax.Array) -> SacState:
 
 
 def resolve_sample_tile(cfg, b_local: int):
-    """``sample_tile`` -> (static tile width, auto flag).  "auto" means
-    tile=1 early and an IN-GRAPH switch to 128 once the batch has
-    desynchronised (see SacConfig.sample_tile); falls back to plain
-    tile=1 when 128 doesn't divide the batch/env counts."""
+    """``sample_tile`` -> (static tile width, auto flag).  "auto" IS
+    exact uniform tile=1 (the vmapped-slice gather already made
+    scattered sampling cheap — nothing left for tiles to buy except the
+    measured learning-collapsing cohort correlation; see
+    SacConfig.sample_tile)."""
     tile = cfg.sample_tile
     if tile == "auto":
-        if cfg.batch_size % 128 == 0 and b_local % 128 == 0:
-            return 128, True
         return 1, False
     if not isinstance(tile, int):
         raise ValueError(f"sample_tile must be an int or 'auto', got {tile}")
@@ -617,21 +627,14 @@ def resolve_sample_tile(cfg, b_local: int):
 
 
 def make_sampler(cfg, buffer, filled, tile: int, auto_tile: bool, desync):
-    """The per-update replay sampler closure: scattered columns, fixed
-    tiles, or the auto desync-gated switch (both granularities traced,
-    one executed — ``lax.cond``)."""
+    """The per-update replay sampler closure.  ``auto_tile``/``desync``
+    are retained for signature stability; auto now always resolves to
+    tile=1 (see resolve_sample_tile)."""
+    del auto_tile, desync
     fil = jnp.maximum(filled, 1)
 
     def sample_rows(k_s):
-        if not auto_tile:
-            return buffer_sample(buffer, fil, k_s, cfg.batch_size, tile=tile)
-        return jax.lax.cond(
-            desync >= 0.9,
-            lambda k: buffer_sample(buffer, fil, k, cfg.batch_size,
-                                    tile=tile),
-            lambda k: buffer_sample(buffer, fil, k, cfg.batch_size, tile=1),
-            k_s,
-        )
+        return buffer_sample(buffer, fil, k_s, cfg.batch_size, tile=tile)
 
     return sample_rows
 

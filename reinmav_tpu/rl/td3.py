@@ -76,7 +76,7 @@ class Td3Config(NamedTuple):
                                      # = tanh actor + clipped noise)
     sample_tile: int | str = "auto"  # replay gather granularity (see
                                      # SacConfig.sample_tile; "auto" =
-                                     # desync-gated 1 -> 128 switch)
+                                     # exact uniform tile=1)
     single_critic: bool = False      # True = classic DDPG (q2 is None,
                                      # Bellman target uses q1 alone)
     compute_dtype: str = "float32"   # "bfloat16": reduced-precision matmul
@@ -100,7 +100,8 @@ class Td3State(NamedTuple):
     key: jax.Array
     total_steps: jnp.ndarray
     updates: jnp.ndarray     # int32 critic-update counter (delay gating)
-    ever_done: jnp.ndarray   # (B,) f32 sample_tile="auto" desync gate
+    ever_done: jnp.ndarray   # (B,) f32: 1 once the env has terminated
+    #                          at least once (the desync_frac metric)
 
 
 def actor_action_t(actor, obs_t, cd=None):

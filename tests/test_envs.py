@@ -234,13 +234,15 @@ def test_policy_rollout_full_state_contract():
 
 
 def test_pallas_backend_refuses_wrapped_or_custom_envs():
-    """ADVICE r1: the fused Pallas kernels bake in the module step/control/
-    reset fns and default params — a wrapped env (same name+params) or a
-    custom-params env must be refused loudly, never silently run with
-    default physics."""
+    """ADVICE r1 / VERDICT r3 #2: the fused Pallas kernels bake in the
+    module step/control/reset fns — a wrapped env (same name+params)
+    must be refused loudly.  Custom PARAMS, by contrast, now ride into
+    the parameterised kernels through SMEM (tests/test_pallas_params.py
+    pins the physics); only the non-parameterised kernels (e.g.
+    reinmav-v0) still refuse them."""
     import pytest
 
-    from reinmav_tpu.envs import core, quadrotor3d, wrappers
+    from reinmav_tpu.envs import core, quadrotor3d, reinmav13, wrappers
 
     key = jax.random.PRNGKey(0)
     states = reinmav_tpu.make("quadrotor3d-v0").vreset(jax.random.split(key, 4096))
@@ -249,9 +251,14 @@ def test_pallas_backend_refuses_wrapped_or_custom_envs():
     with pytest.raises(ValueError, match="wrapped or replaced"):
         core.throughput_rollout(wrapped, states, key, 4, backend="pallas")
 
+    # Custom params keep the fast path (interpret mode off-TPU).
     custom = quadrotor3d.make(quadrotor3d.Params(ref_z=5.0))
+    assert core.fused_kernel_mismatch(custom, packed_params=True) is None
+
+    custom_rm = reinmav13.make(reinmav13.Params(mass=0.2))
     with pytest.raises(ValueError, match="non-default params"):
-        core.throughput_rollout(custom, states, key, 4, backend="pallas")
+        s_rm = custom_rm.vreset(jax.random.split(key, 4096))
+        core.throughput_rollout(custom_rm, s_rm, key, 4, backend="pallas")
 
     # Every registered env now has a fused kernel, so the "no kernel"
     # refusal needs a foreign EnvDef.
