@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "twin-delayed DDPG on the same replay machinery "
                         "(rl/td3.py).  ddpg = classic DDPG: td3 with "
                         "single_critic, policy_noise=0, policy_delay=1")
+    p.add_argument("--network", default="mlp", choices=["mlp", "gru"],
+                   help="policy network for --alg=ppo: the default fused "
+                        "2-layer MLP, or a GRU recurrent actor-critic "
+                        "(rl/recurrent.py — the reference stack's "
+                        "network= kwarg, gym_reinmav/run.py:63-68; "
+                        "sequences train whole, minibatched over envs)")
     # Off-policy knobs (ignored by the on-policy algs).
     p.add_argument("--buffer_capacity", type=int, default=1 << 20)
     p.add_argument("--batch_size", type=int, default=2048)
@@ -206,6 +212,52 @@ def train_offpolicy(args):
                               "eval_running_return": stats.mean_running_return,
                               "eval_survival_frac": stats.survival_frac})
         if args.save_path and call % args.save_interval == 0:
+            ckpt.save(args.save_path, state)
+    if args.save_path:
+        ckpt.save(args.save_path, state)
+    return state
+
+
+def train_recurrent(args):
+    """--network=gru training loop (rl/recurrent.py): GRU actor-critic
+    PPO, env-axis minibatches, whole sequences."""
+    from . import recurrent
+
+    env = make(args.env)
+    cfg = recurrent.RecurrentPpoConfig(
+        num_envs=args.num_env,
+        rollout_len=args.rollout_len,
+        hidden=args.num_hidden,
+        embed=args.num_hidden,
+        learning_rate=args.lr,
+        gamma=args.gamma,
+        lam=args.lam,
+        clip_eps=args.clip,
+        entropy_coef=args.ent_coef,
+    )
+    k = max(1, args.updates_per_jit)
+    fn = (recurrent.make_train_step(env, cfg) if k == 1
+          else recurrent.make_train_many(env, cfg, k))
+    state = recurrent.init_train_state(env, cfg, jax.random.PRNGKey(args.seed))
+    if args.load_path:
+        state = ckpt.restore(args.load_path, state)
+    steps_per_update = cfg.num_envs * cfg.rollout_len
+    num_updates = max(1, int(args.num_timesteps) // steps_per_update)
+    logger = MetricsLogger(log_dir=args.log_dir, config=vars(args))
+    last_t, last_update, update = time.perf_counter(), 0, 0
+    while update < num_updates:
+        state, metrics = fn(state)
+        update += k
+        if (update // k) % args.log_interval == 0 or update >= num_updates:
+            float(np.asarray(state.update_step))  # transfer fence
+            now = time.perf_counter()
+            sps = steps_per_update * (update - last_update) / max(
+                now - last_t, 1e-9)
+            last_t, last_update = now, update
+            logger.log(update, {"env_steps": steps_per_update * update,
+                                "steps_per_sec": round(sps),
+                                **jax.device_get(metrics)})
+        if args.save_path and (update // k) % args.save_interval == 0:
             ckpt.save(args.save_path, state)
     if args.save_path:
         ckpt.save(args.save_path, state)
@@ -403,6 +455,13 @@ def main(argv=None):
             state = train_offpolicy(args)
         if args.play:
             play_offpolicy(args, state)
+        return
+    if args.network == "gru":
+        if args.alg != "ppo":
+            raise SystemExit("--network=gru supports --alg=ppo only")
+        if args.play:
+            raise SystemExit("--play is not wired for --network=gru yet")
+        train_recurrent(args)
         return
     state = None
     if not args.play or args.load_path is None:

@@ -1,0 +1,109 @@
+"""GRU recurrent PPO (rl/recurrent.py): mechanics, memory semantics,
+and a learning run on quadrotor2d-v0 (the VERDICT r3 #9 done
+criterion — the reference stack's ``network=`` kwarg surface,
+``gym_reinmav/run.py:63-68``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import reinmav_tpu
+from reinmav_tpu.rl import recurrent
+
+
+def _cfg(**kw):
+    base = dict(num_envs=32, rollout_len=16, hidden=16, embed=16,
+                learning_rate=1e-3)
+    base.update(kw)
+    return recurrent.RecurrentPpoConfig(**base)
+
+
+def test_train_step_runs_and_updates_params():
+    env = reinmav_tpu.make("quadrotor2d-v0")
+    cfg = _cfg()
+    state = recurrent.init_train_state(env, cfg, jax.random.PRNGKey(0))
+    new, met = recurrent.train_step(env, cfg, state)
+    assert int(new.update_step) == 1
+    assert np.isfinite(float(met["loss"]))
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(new.params))
+    )
+    assert moved
+
+
+def test_hidden_resets_on_episode_boundary():
+    """The policy output must be independent of pre-boundary history:
+    stepping with done_prev=1 must equal stepping from a zero hidden."""
+    env = reinmav_tpu.make("quadrotor2d-v0")
+    cfg = _cfg()
+    params = recurrent.init_params(jax.random.PRNGKey(1), env.obs_dim,
+                                   env.action_dim, cfg)
+    obs = jax.random.normal(jax.random.PRNGKey(2), (env.obs_dim, 8))
+    h_dirty = jax.random.normal(jax.random.PRNGKey(3), (cfg.hidden, 8))
+    done = jnp.ones((8,))
+    _, m1, _, v1 = recurrent.policy_step(params, h_dirty, obs, done)
+    _, m2, _, v2 = recurrent.policy_step(
+        params, jnp.zeros_like(h_dirty), obs, jnp.zeros((8,)))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    # ...and without the boundary the history DOES matter.
+    _, m3, _, _ = recurrent.policy_step(params, h_dirty, obs,
+                                        jnp.zeros((8,)))
+    assert np.abs(np.asarray(m3) - np.asarray(m1)).max() > 1e-6
+
+
+def test_gru_memory_carries_information():
+    """A GRU must distinguish identical observations with different
+    histories (the capability the MLP lacks)."""
+    env = reinmav_tpu.make("quadrotor2d-v0")
+    cfg = _cfg()
+    params = recurrent.init_params(jax.random.PRNGKey(4), env.obs_dim,
+                                   env.action_dim, cfg)
+    obs_now = jnp.ones((env.obs_dim, 4))
+    hist_a = jnp.zeros((env.obs_dim, 4))
+    hist_b = jnp.ones((env.obs_dim, 4)) * 2.0
+    h0 = jnp.zeros((cfg.hidden, 4))
+    z = jnp.zeros((4,))
+    ha, *_ = recurrent.policy_step(params, h0, hist_a, z)
+    hb, *_ = recurrent.policy_step(params, h0, hist_b, z)
+    _, ma, _, _ = recurrent.policy_step(params, ha, obs_now, z)
+    _, mb, _, _ = recurrent.policy_step(params, hb, obs_now, z)
+    assert np.abs(np.asarray(ma) - np.asarray(mb)).max() > 1e-6
+
+
+def test_determinism():
+    env = reinmav_tpu.make("quadrotor2d-v0")
+    cfg = _cfg()
+    fn = jax.jit(lambda s: recurrent.train_step(env, cfg, s))
+    s1, _ = fn(recurrent.init_train_state(env, cfg, jax.random.PRNGKey(7)))
+    s2, _ = fn(recurrent.init_train_state(env, cfg, jax.random.PRNGKey(7)))
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gru_ppo_learns_quadrotor2d():
+    """VERDICT r3 #9 done criterion: --network=gru trains on
+    quadrotor2d-v0.  Episode-return proxy must improve over a short
+    run (the reference reward makes termination attractive — see
+    docs/scaling.md — so the proxy is reward/done_frac, the
+    test_ppo_improves_hovering pattern)."""
+    env = reinmav_tpu.make("quadrotor2d-v0")
+    cfg = _cfg(num_envs=128, rollout_len=32, hidden=32, embed=32,
+               learning_rate=1e-3, entropy_coef=1e-3)
+    state = recurrent.init_train_state(env, cfg, jax.random.PRNGKey(3))
+    step = recurrent.make_train_step(env, cfg)
+
+    def episode_return(met):
+        return float(met["mean_reward"]) / max(
+            float(met["mean_episode_done_frac"]), 1e-4)
+
+    first = None
+    for _ in range(40):
+        state, met = step(state)
+        if first is None:
+            first = episode_return(met)
+    last = episode_return(met)
+    assert np.isfinite(last)
+    assert last > first, f"no improvement: {first} -> {last}"
