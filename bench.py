@@ -136,21 +136,16 @@ def bench_sac(key) -> tuple[float, str]:
     ops/pallas_offpolicy) + replay-sampled twin-critic/actor updates, the
     whole loop one compiled scan with the TPU-resident replay ring
     (rl/sac.py).  Production defaults: ``fused_collect="auto"`` and
-    ``sample_tile="auto"`` (the desync-gated 1→128 switch — tiled lane
-    reads once ≥90% of envs have terminated at least once; the r3
-    early-training tile pathology is handled by the gate, and the r4
-    auto-tile training artifact reaches survival like tile=1)."""
+    ``sample_tile="auto"`` = EXACT uniform sampling via the vmapped
+    single-column dynamic_slice gather (tiled sampling measurably
+    collapses learning on the deterministic-reset hover env —
+    results.json sac_tile_learning_ab — so the benchmark runs what
+    production runs)."""
     import numpy as np
 
     from reinmav_tpu.rl import sac
 
     env = reinmav_tpu.make("MujocoQuadForce-v1")
-
-    # The one-launch SAC update kernel (ops/pallas_sac_update) measured
-    # 0.95x the one_update scan on-chip at this config (r3) and 0.88x
-    # with tiled sampling (r4, benchmarks/sac_lever_ab.py), so the
-    # headline stays on the scan update.
-    fused_update = "off"
 
     # Tripwire: Mosaic-compile the fused collection kernel on a small
     # config before letting it into the headline (interpret-mode
@@ -172,7 +167,6 @@ def bench_sac(key) -> tuple[float, str]:
 
     cfg = sac.SacConfig(num_envs=65536, batch_size=8192,
                         buffer_capacity=1 << 21, warmup_steps=0,
-                        fused_update=fused_update,
                         fused_collect=fused_collect)
     # K=256 folds per dispatch: per-iteration compute is ~0.6 ms, so the
     # tunnel's ~28 ms dispatch floor dominates at small K (r4 probes:
@@ -192,7 +186,7 @@ def bench_sac(key) -> tuple[float, str]:
     assert np.isfinite(float(np.asarray(m["q_loss"])))
     tag = "fusedcollect" if fused_collect == "auto" else "scan"
     return (K * cfg.num_envs / min(times),
-            f"hover-b65536-batch8192-{tag}-autotile-K256")
+            f"hover-b65536-batch8192-{tag}-uniform-K256")
 
 
 def main():

@@ -72,18 +72,18 @@ def measure_ppo(env, mesh, per_device_envs, updates, key):
     n = mesh.devices.size
     cfg = ppo.PpoConfig(num_envs=per_device_envs * n, rollout_len=32,
                         hidden=(64, 64))
-    state = ppo.init_state(env, cfg, jax.random.PRNGKey(0))
+    state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(0))
     state = jax.device_put(state, ppo.state_shardings(mesh))
     fn = ppo.make_train_many_shardmap(env, cfg, updates, mesh)
     state, m = fn(state)  # compile + warm
-    float(np.asarray(m["pi_loss"]))
+    float(np.asarray(m["pg_loss"]))
 
     def run():
         nonlocal state
         state, met = fn(state)
         return met
 
-    t = _timeit(run, lambda met: float(np.asarray(met["pi_loss"])))
+    t = _timeit(run, lambda met: float(np.asarray(met["pg_loss"])))
     return cfg.num_envs * cfg.rollout_len * updates / t
 
 

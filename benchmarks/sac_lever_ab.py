@@ -54,14 +54,10 @@ if __name__ == "__main__":
         "bf16+tile": dict(compute_dtype="bfloat16", sample_tile=128, **off),
         "batch1k": dict(batch_size=1024, **off),
         "tile+b1k": dict(sample_tile=128, batch_size=1024, **off),
-        "fused_upd": dict(fused_update="auto", **off),
-        "tile+fupd": dict(sample_tile=128, fused_update="auto", **off),
         "fcol": dict(fused_collect="auto"),
         "fcol+tile": dict(fused_collect="auto", sample_tile=128),
         "fcol+t+bf16": dict(fused_collect="auto", sample_tile=128,
                             compute_dtype="bfloat16"),
-        "fcol+t+fupd": dict(fused_collect="auto", sample_tile=128,
-                            fused_update="auto"),
         "buf256k": dict(buffer_capacity=1 << 18, **off),
         "fcol+t+b256k": dict(fused_collect="auto", sample_tile=128,
                              buffer_capacity=1 << 18),

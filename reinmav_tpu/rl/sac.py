@@ -70,19 +70,11 @@ class SacConfig(NamedTuple):
     # — the (H, batch) hidden tensors are the update phase's HBM cost,
     # exactly the PPO recipe (networks.apply_t / _tanh_bf16_residual).
     compute_dtype: str = "float32"
-    # One-launch fused update phase (ops/pallas_sac_update): all
-    # grad_steps updates — twin-critic, actor, alpha, polyak, three
-    # Adams — as ONE Pallas kernel with the five MLPs + moments resident
-    # in packed VMEM planes.  "off" (default): the on-chip A/B measured
-    # the kernel at 0.95x the one_update scan at the bench config
-    # (benchmarks/sac_fused_update_ab.py, results.json 2026-08-19 — the
-    # group=512 sequential grid beats XLA's launch glue but loses the
-    # stacked-twin matmuls, which Mosaic's concat limits forbid
-    # in-kernel; see twin_q_value_safe_t).  "auto" = on-TPU
-    # single-device, "on" forces (tests/interpret).  Requires equal
-    # 2-layer hidden, max_grad_norm=None, single device (the shard_map
-    # path must pmean between updates).
-    fused_update: str = "off"
+    # NOTE: a one-launch fused UPDATE kernel (ops/pallas_sac_update)
+    # existed in r3-r4 and was DELETED after losing its on-chip A/B
+    # twice (0.95x r3, 0.88x r4 — results.json keeps both measurements;
+    # docs/scaling.md records the dated negative result and why the
+    # "launch glue" it targeted was really the per-dispatch floor).
     # One-launch fused COLLECTION phase (ops/pallas_offpolicy): actor
     # MLP + tanh-Gaussian sampling + warmup gating + action scaling +
     # env step + auto-reset + replay-block assembly as ONE Pallas
@@ -233,40 +225,6 @@ def twin_q_value_t(qa, qb, obs_t, act_t, cd=None):
     return twin_mlp_t(qa, qb, x, cd)
 
 
-def _q_value_split_t(q, obs_t, act_t, cd=None):
-    """One critic as all-2-D matmuls with the input concat removed
-    algebraically: w·[obs; act] = w[:d]·obs + w[d:]·act -> (batch,)."""
-    d = obs_t.shape[0]
-    x = (_dot_t(q[0]["w"][:d], obs_t, cd) + _dot_t(q[0]["w"][d:], act_t, cd)
-         + q[0]["b"][:, None])
-    x = _relu_bf16_residual(x) if cd is not None else jax.nn.relu(x)
-    for i in range(1, len(q)):
-        x = _dot_t(q[i]["w"], x, cd) + q[i]["b"][:, None]
-        if i < len(q) - 1:
-            x = _relu_bf16_residual(x) if cd is not None else jax.nn.relu(x)
-    return x[0]
-
-
-def twin_q_value_safe_t(qa, qb, obs_t, act_t, cd=None):
-    """Mosaic-safe :func:`twin_q_value_t` for the fused-update kernel.
-
-    The stacked-twin fast path concatenates along LANES (layer-0 weight,
-    (din, 2H)) and as 1-D vectors (the bias pair) — both lower to
-    ``tpu.concatenate`` ops Mosaic rejects on real hardware ("input
-    offsets outside of the first tile"), and the 3-D batched-dot rewrite
-    crashed Mosaic's vector-layout pass outright (``Check failed:
-    limits[i] <= dim(i)``; both first seen on a v5e, 2026-08-19).  So
-    inside the kernel the twins run as two sequential all-2-D MLP passes
-    with the (obs ‖ act) input concat removed algebraically — stacking
-    exists to cut XLA kernel launches, which a fused kernel has none of.
-    Same contractions as :func:`twin_q_value_t` (layer 0's two partial
-    sums change only float association), so kernel-vs-scan stays within
-    the differential-test tolerances.
-    """
-    return (_q_value_split_t(qa, obs_t, act_t, cd),
-            _q_value_split_t(qb, obs_t, act_t, cd))
-
-
 def init_sac_params(key, obs_dim: int, action_dim: int, hidden):
     ka, k1, k2 = jax.random.split(key, 3)
     actor = _mlp_init(ka, (obs_dim, *hidden, 2 * action_dim))
@@ -293,10 +251,9 @@ def sample_squashed_eps_t(actor, obs_t, eps, action_dim: int, cd=None):
     normal draws ``eps`` (A, batch) -> (action_t in [-1,1], log_prob
     (batch,)).  The squash correction uses the numerically stable
     identity log(1 - tanh(u)^2) = 2(log 2 - u - softplus(-2u)).
-    Separated from the key-based wrapper so the fused-update kernel
-    (ops/pallas_sac_update) can reuse the exact loss math with eps
-    passed in as data rows (the key stream stays bitwise-identical —
-    the wrapper draws with the same shape/key)."""
+    Separated from the key-based wrapper so tests (and fused kernels)
+    can inject exact draws; the wrapper draws with the same
+    shape/key, keeping the key stream bitwise-identical."""
     mean, log_std = actor_dist_t(actor, obs_t, action_dim, cd)
     std = jnp.exp(log_std)
     u = mean + std * eps
@@ -409,11 +366,10 @@ def buffer_sample(buffer, filled, key, batch: int, tile: int = 1):
 
 
 def _critic_loss_eps(q_params, cfg, env, batch_rows, target_q, eps, actor,
-                     log_alpha, cd=None, safe_twin=False):
+                     log_alpha, cd=None):
     """MSE of both critics against the soft Bellman target, with the
-    target-action Gaussian draw passed in as ``eps`` (A, batch) — the
-    core shared by the XLA path (key wrapper below) and the fused-update
-    kernel (ops/pallas_sac_update), which carries eps as data rows.
+    target-action Gaussian draw passed in as ``eps`` (A, batch) —
+    key-free so tests (and future fused paths) can inject exact draws.
 
     ``batch_rows`` is the sampled (R, batch) block (see _row_dims).
     """
@@ -424,7 +380,7 @@ def _critic_loss_eps(q_params, cfg, env, batch_rows, target_q, eps, actor,
     nobs = batch_rows[d + a + 1:2 * d + a + 1]
     done = batch_rows[2 * d + a + 1]
 
-    twin_fn = twin_q_value_safe_t if safe_twin else twin_q_value_t
+    twin_fn = twin_q_value_t
     q1t, q2t = target_q
     na, nlogp = sample_squashed_eps_t(actor, nobs, eps, a, cd)
     tq = jnp.minimum(*twin_fn(q1t, q2t, nobs, na, cd))
@@ -449,11 +405,11 @@ def critic_loss(q_params, cfg, env, batch_rows, target_q, key, actor,
 
 
 def _actor_alpha_loss_eps(aa_params, cfg, env, batch_rows, q1, q2, eps,
-                          target_entropy, cd=None, safe_twin=False):
+                          target_entropy, cd=None):
     """Actor + temperature loss with the resample draw passed in as
-    ``eps`` (A, batch) — core shared with the fused-update kernel."""
+    ``eps`` (A, batch) — the key-free core (see _critic_loss_eps)."""
     d, a = env.obs_dim, env.action_dim
-    twin_fn = twin_q_value_safe_t if safe_twin else twin_q_value_t
+    twin_fn = twin_q_value_t
     obs = batch_rows[:d]
     act_s, logp = sample_squashed_eps_t(aa_params["actor"], obs, eps, a, cd)
     qmin = jnp.minimum(*twin_fn(q1, q2, obs, act_s, cd))
@@ -565,28 +521,6 @@ def _collect_consts(env: EnvDef, warm_gate, explore_noise: float):
     ])
 
 
-def _fused_update_enabled(cfg: SacConfig, env: EnvDef | None = None) -> bool:
-    """Static dispatch for the one-launch SAC update kernel."""
-    if cfg.fused_update == "off":
-        return False
-    if len(cfg.hidden) != 2 or cfg.hidden[0] != cfg.hidden[1]:
-        return False
-    if env is not None and cfg.hidden[0] < 2 * env.action_dim:
-        # The plane lane count is hidden[0]; the actor's output layer
-        # (2*action_dim lanes) must fit — refuse loudly here rather than
-        # crash in pack_mlp's padding.
-        return False
-    if cfg.max_grad_norm is not None:  # in-kernel optimiser is plain adam
-        return False
-    from ..ops import pallas_sac_update as psu
-
-    if not psu.available():
-        return False
-    if cfg.fused_update == "on":
-        return True
-    return jax.devices()[0].platform == "tpu"
-
-
 def init_state(env: EnvDef, cfg: SacConfig, key: jax.Array) -> SacState:
     k_params, k_env, k_loop = jax.random.split(key, 3)
     actor, q1, q2 = init_sac_params(k_params, env.obs_dim, env.action_dim,
@@ -639,110 +573,6 @@ def make_sampler(cfg, buffer, filled, tile: int, auto_tile: bool, desync):
     return sample_rows
 
 
-def _fused_iteration_updates(cfg: SacConfig, env: EnvDef, s: SacState,
-                             buffer, filled, gate, k_loop, sample_rows,
-                             target_entropy):
-    """One iteration's ``grad_steps`` updates through the one-launch
-    Pallas kernel (ops/pallas_sac_update).
-
-    Mirrors the ``one_update`` scan exactly: per step the SAME key
-    splits drive the replay sample and the two Gaussian draws (passed to
-    the kernel as data rows), the critic Adam runs before the
-    actor/alpha step reads the critics, and the warmup gate freezes
-    params/moments/targets.  The three optax Adam states round-trip
-    through packed planes; their counts advance only on open gates."""
-    from ..ops import pallas_sac_update as psu
-
-    d, a = env.obs_dim, env.action_dim
-    lanes = cfg.hidden[0]
-    adims = (d, *cfg.hidden, 2 * a)
-    qdims = (d + a, *cfg.hidden, 1)
-
-    keys = jax.random.split(k_loop, cfg.grad_steps)
-    blocks = []
-    for gsi in range(cfg.grad_steps):  # static unroll (grad_steps small)
-        k_s, k_tgt, k_pi = jax.random.split(keys[gsi], 3)
-        rws = sample_rows(k_s).astype(jnp.float32)
-        eps_t = jax.random.normal(k_tgt, (a, cfg.batch_size), jnp.float32)
-        eps_pi = jax.random.normal(k_pi, (a, cfg.batch_size), jnp.float32)
-        blocks.append(jnp.concatenate([rws, eps_t, eps_pi]))
-    data = jnp.concatenate(blocks, axis=1)
-    r8 = psu._rup8(data.shape[0])
-    if r8 != data.shape[0]:
-        data = jnp.concatenate(
-            [data, jnp.zeros((r8 - data.shape[0], data.shape[1]),
-                             jnp.float32)])
-
-    def misc_row(scalar):
-        return jnp.zeros((8, lanes), jnp.float32).at[0, 0].set(scalar)
-
-    p_plane = jnp.concatenate([
-        psu.pack_mlp(s.actor, adims, lanes),
-        psu.pack_mlp(s.q1, qdims, lanes),
-        psu.pack_mlp(s.q2, qdims, lanes),
-        psu.pack_mlp(s.q1_target, qdims, lanes),
-        psu.pack_mlp(s.q2_target, qdims, lanes),
-        misc_row(s.log_alpha),
-    ])
-    # optax.adam state = (ScaleByAdamState, EmptyState).
-    ad_a, ad_q, ad_al = s.opt_actor[0], s.opt_q[0], s.opt_alpha[0]
-
-    def moments_plane(actor_m, q_m, alpha_m):
-        return jnp.concatenate([
-            psu.pack_mlp(actor_m, adims, lanes),
-            psu.pack_mlp(q_m["q1"], qdims, lanes),
-            psu.pack_mlp(q_m["q2"], qdims, lanes),
-            misc_row(alpha_m),
-        ])
-
-    m_plane = moments_plane(ad_a.mu, ad_q.mu, ad_al.mu)
-    n_plane = moments_plane(ad_a.nu, ad_q.nu, ad_al.nu)
-
-    p_o, m_o, n_o, met8 = psu.sac_update_pallas(
-        cfg, env, data, p_plane, m_plane, n_plane, ad_q.count, gate,
-        target_entropy)
-
-    p_offs, _ = psu.plane_offsets(adims, qdims, with_targets=True)
-    g_offs, _ = psu.plane_offsets(adims, qdims, with_targets=False)
-
-    def net(plane, offs, name, dims):
-        o = offs[name]
-        return psu.unpack_mlp(plane[o:o + psu.mlp_rows(dims)], dims, lanes)
-
-    actor = net(p_o, p_offs, "actor", adims)
-    q1 = net(p_o, p_offs, "q1", qdims)
-    q2 = net(p_o, p_offs, "q2", qdims)
-    q1t = net(p_o, p_offs, "q1t", qdims)
-    q2t = net(p_o, p_offs, "q2t", qdims)
-    log_alpha = p_o[p_offs["misc"], 0]
-
-    cnt = (ad_q.count
-           + cfg.grad_steps * (gate > 0.5).astype(ad_q.count.dtype))
-
-    def rebuild(opt_state, adam, mu, nu):
-        return (adam._replace(count=cnt, mu=mu, nu=nu),) + tuple(
-            opt_state[1:])
-
-    oa = rebuild(s.opt_actor, ad_a,
-                 net(m_o, g_offs, "actor", adims),
-                 net(n_o, g_offs, "actor", adims))
-    oq = rebuild(s.opt_q, ad_q,
-                 {"q1": net(m_o, g_offs, "q1", qdims),
-                  "q2": net(m_o, g_offs, "q2", qdims)},
-                 {"q1": net(n_o, g_offs, "q1", qdims),
-                  "q2": net(n_o, g_offs, "q2", qdims)})
-    oal = rebuild(s.opt_alpha, ad_al,
-                  m_o[g_offs["misc"], 0], n_o[g_offs["misc"], 0])
-
-    inv_gs = 1.0 / cfg.grad_steps
-    met = {
-        "q_loss": met8[0, 0] * inv_gs, "q_mean": met8[0, 1] * inv_gs,
-        "target_mean": met8[0, 2] * inv_gs, "pi_loss": met8[0, 3] * inv_gs,
-        "entropy": met8[0, 4] * inv_gs, "alpha": met8[0, 5] * inv_gs,
-    }
-    return (actor, q1, q2, q1t, q2t, log_alpha, oa, oq, oal), met
-
-
 def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
                 num_iters: int, axis_name: str | None = None):
     """Run ``num_iters`` SAC iterations (each: one batched env step +
@@ -765,7 +595,6 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
     )
     d, a = env.obs_dim, env.action_dim
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-    fused_upd = _fused_update_enabled(cfg, env) and axis_name is None
     # Local (per-device under shard_map) env batch, from the ARRAY shape.
     b_local = state.env_states.shape[0]
     dense8 = b_local % 8 == 0
@@ -888,18 +717,12 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
                    "alpha": alpha, "q_mean": q_mean, "target_mean": tgt_mean}
             return (actor, q1, q2, q1t, q2t, log_alpha, oa, oq, oal), met
 
-        if fused_upd:
-            (actor, q1, q2, q1t, q2t, log_alpha, oa, oq, oal), met = (
-                _fused_iteration_updates(
-                    cfg, env, s, buffer, filled, gate, k_loop, sample_rows,
-                    target_entropy))
-        else:
-            carry0 = (s.actor, s.q1, s.q2, s.q1_target, s.q2_target,
-                      s.log_alpha, s.opt_actor, s.opt_q, s.opt_alpha)
-            carry, met = jax.lax.scan(
-                one_update, carry0, jax.random.split(k_loop, cfg.grad_steps)
-            )
-            (actor, q1, q2, q1t, q2t, log_alpha, oa, oq, oal) = carry
+        carry0 = (s.actor, s.q1, s.q2, s.q1_target, s.q2_target,
+                  s.log_alpha, s.opt_actor, s.opt_q, s.opt_alpha)
+        carry, met = jax.lax.scan(
+            one_update, carry0, jax.random.split(k_loop, cfg.grad_steps)
+        )
+        (actor, q1, q2, q1t, q2t, log_alpha, oa, oq, oal) = carry
         # Update-phase metrics are meaningful only when the gate is open
         # (gated iterations evaluate losses on the zero-filled ring);
         # mask here, weighted-average across iterations below.

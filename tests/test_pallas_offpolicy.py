@@ -197,7 +197,7 @@ def test_train_iters_integration():
     env = reinmav_tpu.make("quadrotor3d-v0")
     cfg = sac.SacConfig(num_envs=64, batch_size=64, buffer_capacity=1024,
                         warmup_steps=64, hidden=(32, 32), grad_steps=1,
-                        fused_collect="on", fused_update="off")
+                        fused_collect="on")
     state = sac.init_state(env, cfg, jax.random.PRNGKey(0))
     with pltpu.force_tpu_interpret_mode():
         state2, met = sac.train_iters(env, cfg, state, 4)

@@ -86,21 +86,3 @@ def test_throughput_kernels_lower_for_tpu_all_ids():
             assert len(exp.mlir_module_serialized) > 0, eid
 
 
-def test_sac_fused_update_lowers_for_tpu():
-    """The one-launch SAC update kernel — in-kernel autodiff through the
-    twin-critic stacked matmuls, tanh-Gaussian squash math, three Adams,
-    polyak — lowers for TPU at the production config shape, f32 and
-    bf16."""
-    from reinmav_tpu.rl import sac
-
-    env = reinmav_tpu.make("MujocoQuadForce-v1")
-    with jax.enable_x64(False):
-        for cdt in ("float32", "bfloat16"):
-            cfg = sac.SacConfig(
-                num_envs=1024, buffer_capacity=1 << 17, batch_size=2048,
-                warmup_steps=0, hidden=(256, 256), grad_steps=1,
-                fused_update="on", compute_dtype=cdt)
-            state = sac.init_state(env, cfg, jax.random.PRNGKey(0))
-            fn = jax.jit(lambda s, cfg=cfg: sac.train_iters(env, cfg, s, 2))
-            exp = jax_export.export(fn, platforms=["tpu"])(state)
-            assert len(exp.mlir_module_serialized) > 0, cdt
