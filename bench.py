@@ -219,6 +219,13 @@ def main():
         print(f"# ppo bench unavailable: {e}", file=sys.stderr, flush=True)
     sac_sps, sac_cfg = 0.0, None
     try:
+        # NOTE: this leg reads ~5-20% lower inside the full bench than
+        # solo (80.5M warm / 70.9M cold vs 84.9M solo, 2026-08-19 —
+        # residual chip/HBM state from the preceding legs;
+        # jax.clear_caches() between legs breaks the tunnel runtime, so
+        # it is not attempted here).  The committed headline
+        # (results.json offpolicy_full_loop) is the solo measurement;
+        # treat the full-bench figure as a lower bound.
         sac_sps, sac_cfg = bench_sac(key)
     except Exception as e:
         import sys
