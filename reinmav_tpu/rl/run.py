@@ -67,12 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "negative = less exploration noise")
     p.add_argument("--sample_tile", default="auto",
                    type=lambda v: v if v == "auto" else int(v),
-                   help="replay gather granularity: 'auto' (default) "
-                        "starts with scattered columns and switches "
-                        "in-graph to 128-wide blocks once >=90%% of envs "
-                        "have terminated at least once (lane-width HBM "
-                        "reads, desync-gated); an int forces it — see "
-                        "SacConfig.sample_tile)")
+                   help="replay gather granularity: 'auto' (default) = "
+                        "exact uniform tile=1 (tiled block sampling "
+                        "measurably collapses learning on deterministic-"
+                        "reset envs — see SacConfig.sample_tile); an int "
+                        "forces a tile width for experiments")
     p.add_argument("--explore_noise", type=float, default=0.1,
                    help="TD3 collect-time action-noise std")
     p.add_argument("--policy_noise", type=float, default=0.2,
