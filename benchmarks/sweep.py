@@ -114,10 +114,15 @@ def main():
     ap.add_argument("--horizon", type=int, default=500)
     ap.add_argument("--reinmav_batch", type=int, default=8192,
                     help="smaller batch for the 50-substep reinmav env")
+    ap.add_argument("--only", default="",
+                    help="substring filter: re-measure only matching env ids "
+                         "(other rows in results.json are kept)")
     args = ap.parse_args()
 
     results = {"device": str(jax.devices()[0]), "sweeps": []}
     for env_id in reinmav_tpu.registered_ids():
+        if args.only and args.only not in env_id:
+            continue
         batch = args.reinmav_batch if env_id == "reinmav-v0" else args.batch
         row = bench_env(env_id, batch, args.horizon)
         if env_id == "reinmav-v0":
@@ -134,8 +139,22 @@ def main():
             print(json.dumps(row), flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
+    # MERGE into the existing file: results.json also carries curated
+    # sections (ppo_full_update, offpolicy_full_loop, A/B tables) that a
+    # sweep must not wipe; with --only, unmatched sweep rows survive too.
+    try:
+        with open(out) as f:
+            existing = json.load(f)
+    except (OSError, ValueError):
+        existing = {}
+    old_rows = {(r["env"], r.get("note", "")): r
+                for r in existing.get("sweeps", [])}
+    for r in results["sweeps"]:
+        old_rows[(r["env"], r.get("note", ""))] = r
+    existing["device"] = results["device"]
+    existing["sweeps"] = list(old_rows.values())
     with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(existing, f, indent=1)
     print(f"# wrote {out}", file=sys.stderr)
 
 

@@ -512,9 +512,11 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
             from ..ops import pallas_tpuquad
 
             model = "ground" if env.name == "MujocoQuadForce-v0" else "quat"
+            # tile8=128 measured fastest for the coupled-contact solve
+            # (12.1M vs 9.5M at 256 / 6.5M at 512 — tools/tpu_contact_smoke).
             final_t, z_sum = pallas_tpuquad.contact_rollout_pallas8(
                 init_states.T.astype(jnp.float32), horizon, model=model,
-                tile8=min(256, init_states.shape[0] // 8),
+                tile8=min(128, init_states.shape[0] // 8),
             )
             # These envs' reward is identically 0 (reference semantics);
             # anchor on the stepped Σz so XLA cannot DCE the physics.

@@ -21,10 +21,15 @@ pure-JAX free rigid body:
   velocities first from forces at the current state, then positions from
   the *new* velocities; quaternion advanced by the exponential map of
   ``ω·dt`` (MuJoCo ``mj_integratePos`` semantics), renormalised.
-* Ground plane: MuJoCo's LCP contact is replaced by a compliant
-  spring-damper contact on the four rotor discs and the core
-  (documented approximation; the hovering/quaternion tasks operate off the
-  ground so the analogy holds where it matters).
+* Ground plane: MuJoCo's soft-constraint contact model EXACTLY — the
+  engine's plane-box / plane-cylinder contact points, pyramidal friction
+  cone, impedance regularisation, and the coupled dual QP its Newton
+  solver optimises, solved in-step by matrix-free projected Gauss-Seidel
+  (see ``_contact_wrench``; measured ≤6.7e-6 m over 1-2 s vs ``mj_step``
+  across drop/settle/tilt/pop-out scenarios, ≤5.3e-5 in the 40° tumble,
+  at the shipped 120 solver sweeps — the table in
+  ``oracle/tpuquad_ref.py``).  Arm-box contacts are excluded (measured
+  irrelevant in every pinned scenario).
 * Observations: ``concat(qpos, qvel)`` = [pos(3), quat wxyz(4), vel(3),
   ω_body(3)] — 13-dim like the reference (``mujoco_quad.py:71-72``).
 * Rewards / termination replicate C7-C9 exactly:
@@ -41,6 +46,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import quadmath as qm
@@ -49,12 +55,11 @@ from .core import EnvDef, StepOut
 
 # MuJoCo default constraint-solver constants (solref=(0.02,1) and
 # solimp=(0.9,0.95,0.001,0.5,2) — the XML declares neither, so MuJoCo's
-# defaults apply): K = 1/(dmax² τ² ζ²), B = 2/(dmax τ).  The contact law
-# below mirrors the engine's soft-constraint solve in a per-point
-# diagonal approximation; validated against real mj_step by
-# tests/test_mujoco_divergence.py (flight exact to round-off, flat
-# settle ≤3e-4 m, tumbling-contact ≤2 cm/s-scale — see
-# oracle/tpuquad_ref.py module docs for the measured table).
+# defaults apply): K = 1/(dmax² τ² ζ²), B = 2/(dmax τ).  The coupled
+# contact solve below is the engine's soft-constraint model exactly;
+# validated against real mj_step by tests/test_mujoco_divergence.py
+# (flight exact to round-off, contact scenarios ≤6.7e-6 m over 1-2 s at
+# 120 solver sweeps — see oracle/tpuquad_ref.py for the measured table).
 _CONTACT_K = 2770.083102493075
 _CONTACT_B = 105.26315789473685
 _IMP_D0, _IMP_DMAX, _IMP_WIDTH = 0.9, 0.95, 0.001
@@ -115,14 +120,26 @@ class QuatParams(NamedTuple):
 _MOTOR_X = (1.0, 1.0, -1.0, -1.0)
 _MOTOR_Y = (1.0, -1.0, -1.0, 1.0)
 _YAW_SIGN = (-1.0, 1.0, -1.0, 1.0)
-# Contact points: rotor centres and the core bottom, body frame.
-_CONTACT_PTS = (
-    (0.1, 0.1, 0.0075),
-    (0.1, -0.1, 0.0075),
-    (-0.1, -0.1, 0.0075),
-    (-0.1, 0.1, 0.0075),
-    (0.0, 0.0, -0.025),
+
+# Contact candidate geometry, mirroring MuJoCo's collision functions on
+# the reference XML geoms (oracle/tpuquad_ref.py documents the set and
+# the measured fidelity; arm boxes are excluded there too): the core
+# box's 8 corners (plane-box keeps the below-plane subset) and the 4
+# thruster cylinders' two cap-rim deepest points each (the tilted
+# plane-cylinder case — the caps can't lie flat on the floor while the
+# core box is intact).
+_CORE_CORNERS = tuple(
+    (sx * 0.06, sy * 0.035, sz * 0.025)
+    for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)
 )
+_THRUSTER_CENTERS = ((0.1, 0.1, 0.01), (0.1, -0.1, 0.01),
+                     (-0.1, -0.1, 0.01), (-0.1, 0.1, 0.01))
+_THRUSTER_R, _THRUSTER_HH = 0.05, 0.0025
+# Pyramid tangents for the z-plane floor (mju_makeFrame(0,0,1) order)
+# and the shared solver sweep count (oracle/tpuquad_ref.PGS_ITERS
+# documents the hybrid sweep and the measured convergence).
+_PYRAMID_T = ((0.0, 1.0, 0.0), (-1.0, 0.0, 0.0))
+_PGS_ITERS = 120
 
 
 def _quat_integrate(quat: jnp.ndarray, omega_body: jnp.ndarray, dt) -> jnp.ndarray:
@@ -168,53 +185,172 @@ def _fluid_wrench_body(p, vel_com_b, omega_b, dtype):
     return f + jnp.stack(fq), t + jnp.stack(tq)
 
 
-def _contact_wrench(p, pos, vel, omega_body, rot, acc0_com, alpha0):
-    """Impedance-regularised plane contact mirroring MuJoCo's
-    soft-constraint law in a per-point diagonal approximation:
-    ``f_n = max(0, d·(aref − a0_n)/A_n)`` with
-    ``aref = d·(K·pen − B·v_n)``, ``a0_n`` the UNCONSTRAINED normal
-    acceleration of the point and ``A_n`` its effective inverse mass;
-    friction is the elliptic clamp ``‖f_t‖ ≤ μ f_n`` of the same law on
-    the tangent axes.  Returns world force and body torque (about the
-    CoM)."""
+def _contact_candidates(pos, rot):
+    """World-frame contact candidate SURFACE points, (16, 3): the core
+    box corners and the thruster cap-rim deepest points (see the
+    candidate-geometry comment above; ``oracle/tpuquad_ref.py``
+    validates the set against MuJoCo's collision functions)."""
     dtype = pos.dtype
-    force_w = jnp.zeros(3, dtype)
-    torque_b = jnp.zeros(3, dtype)
+    corners = jnp.asarray(_CORE_CORNERS, dtype)
+    pts_core = pos + corners @ rot.T
+    axis = rot[:, 2]
+    u = jnp.asarray([0.0, 0.0, -1.0], dtype) + axis[2] * axis
+    nu = jnp.linalg.norm(u)
+    u = jnp.where(nu > 1e-12, u / jnp.where(nu > 1e-12, nu, 1.0), 0.0)
+    ctr = jnp.asarray(_THRUSTER_CENTERS, dtype)
+    hh = jnp.asarray([0.0, 0.0, _THRUSTER_HH], dtype)
+    caps = jnp.concatenate([ctr + hh, ctr - hh])
+    pts_thr = pos + caps @ rot.T + _THRUSTER_R * u
+    return jnp.concatenate([pts_core, pts_thr])
+
+
+def _contact_wrench(p, pos, vel, omega_body, rot, acc0_com, alpha0):
+    """Coupled plane-contact solve — MuJoCo's soft-constraint model
+    exactly (``oracle/tpuquad_ref._contact_wrench`` documents the
+    formulation; this is its jit/vmap mirror with static shapes):
+
+        f* = argmin_{f≥0} ½ fᵀ(A+R)f + fᵀ(J·a_smooth − aref)
+
+    over 16 candidates × 4 pyramid rows (``e = n ± μ·t``), inactive
+    candidates masked.  A = J M⁻¹ Jᵀ couples all rows; the projected
+    Gauss-Seidel solve is matrix-free (the aggregated 6-DoF wrench makes
+    each row update O(1)).  Returns (world force, body torque about the
+    CoM).
+
+    The solve is gated on ``any(candidate below plane)`` with a REAL
+    ``lax.cond`` even under vmap (``custom_vmap`` reduces the predicate
+    across the batch; nested vmaps — the dense8 double-vmap layout —
+    flatten recursively into one batch with one cond): airborne
+    workloads — the hovering task, flight phases — pay only the
+    candidate-z computation, while contact-riding batches run the full
+    solve.  Forces are exactly zero when nothing penetrates, so the
+    gate never changes a result."""
+    dtype = pos.dtype
+
+    def zeros(*_a):
+        return jnp.zeros(3, dtype), jnp.zeros(3, dtype)
+
+    @jax.custom_batching.custom_vmap
+    def gated(pos, vel, omega_body, rot, acc0_com, alpha0):
+        any_pen = jnp.any(_contact_candidates(pos, rot)[:, 2] < 0.0)
+        return jax.lax.cond(
+            any_pen, lambda *a: _contact_solve(p, *a), zeros,
+            pos, vel, omega_body, rot, acc0_com, alpha0,
+        )
+
+    @gated.def_vmap
+    def _gated_batch(axis_size, in_batched, *args):
+        args = tuple(
+            a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+            for a, b in zip(args, in_batched)
+        )
+        return _gated_solve_batched(p, dtype, *args), (True, True)
+
+    return gated(pos, vel, omega_body, rot, acc0_com, alpha0)
+
+
+def _gated_solve_batched(p, dtype, pos, vel, omega_body, rot, acc0_com, alpha0):
+    """Batched (leading-axis) gated solve: ONE ``lax.cond`` on
+    ``any(penetration)`` over the whole batch.  Itself ``custom_vmap``'d
+    with a flattening rule so nested vmaps collapse into one flat batch
+    instead of degrading the cond into a compute-both select."""
+
+    @jax.custom_batching.custom_vmap
+    def run(pos, vel, omega_body, rot, acc0_com, alpha0):
+        B = pos.shape[0]
+        dists = jax.vmap(
+            lambda pp, rr: _contact_candidates(pp, rr)[:, 2]
+        )(pos, rot)
+        return jax.lax.cond(
+            jnp.any(dists < 0.0),
+            lambda *a: jax.vmap(lambda *s: _contact_solve(p, *s))(*a),
+            lambda *a: (jnp.zeros((B, 3), dtype), jnp.zeros((B, 3), dtype)),
+            pos, vel, omega_body, rot, acc0_com, alpha0,
+        )
+
+    @run.def_vmap
+    def _run_batch(axis_size, in_batched, *args):
+        args = tuple(
+            a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+            for a, b in zip(args, in_batched)
+        )
+        inner = args[0].shape[1]
+        flat = tuple(a.reshape((axis_size * inner,) + a.shape[2:]) for a in args)
+        F_w, T_b = _gated_solve_batched(p, dtype, *flat)
+        return (F_w.reshape(axis_size, inner, 3),
+                T_b.reshape(axis_size, inner, 3)), (True, True)
+
+    return run(pos, vel, omega_body, rot, acc0_com, alpha0)
+
+
+def _contact_solve(p, pos, vel, omega_body, rot, acc0_com, alpha0):
+    """The ungated coupled solve (see :func:`_contact_wrench`)."""
+    dtype = pos.dtype
     inertia = jnp.asarray(p.inertia_diag, dtype)
     c = jnp.asarray([0.0, 0.0, p.com_z], dtype)
     inv_m = 1.0 / p.mass
-    pts = jnp.asarray(_CONTACT_PTS, dtype)
-    for i in range(pts.shape[0]):
-        r_b = pts[i]
-        rho = r_b - c
-        r_w = rot @ r_b
-        pen = -(pos + r_w)[2]
-        active = pen > 0.0
-        v_w = vel + rot @ jnp.cross(omega_body, r_b)
-        a_pt = acc0_com + rot @ (
-            jnp.cross(alpha0, rho) + jnp.cross(omega_body, jnp.cross(omega_body, rho))
-        )
-        d = _impedance(p, pen)
-        # Effective inverse masses along world axes (diagonal of J M⁻¹ Jᵀ).
-        f_axes = []
-        for ax in range(3):
-            dir_b = rot.T[:, ax]  # rotᵀ @ e_ax
-            arm = jnp.cross(rho, dir_b)
-            a_eff = inv_m + jnp.sum(arm * arm / inertia)
-            if ax == 2:
-                aref = d * (_CONTACT_K * pen - _CONTACT_B * v_w[2])
-            else:
-                aref = d * (-_CONTACT_B * v_w[ax])
-            f_axes.append(d * (aref - a_pt[ax]) / a_eff)
-        fn = jnp.where(active, jnp.maximum(f_axes[2], 0.0), 0.0)
-        ft_norm = jnp.sqrt(f_axes[0] ** 2 + f_axes[1] ** 2)
-        lim = p.contact_friction * fn
-        scale = jnp.where(ft_norm > lim, lim / jnp.maximum(ft_norm, 1e-30), 1.0)
-        scale = jnp.where(active, scale, 0.0)
-        f_w = jnp.stack([f_axes[0] * scale, f_axes[1] * scale, fn])
-        force_w = force_w + f_w
-        torque_b = torque_b + jnp.cross(rho, rot.T @ f_w)
-    return force_w, torque_b
+    mu = p.contact_friction
+
+    pts = _contact_candidates(pos, rot)                     # (16, 3)
+    dist = pts[:, 2]
+    active = dist < 0.0
+    pen = -dist
+    mid = pts.at[:, 2].set(0.5 * dist)                      # midpoint shift
+    com_w = pos + rot @ c
+    rho_b = (mid - com_w) @ rot                             # Rᵀx, row-wise
+    r_b = (mid - pos) @ rot                                 # from the origin
+    d = _impedance(p, pen)                                  # (16,)
+    R_reg = (1.0 - d) / d * (2.0 * mu * mu * (1.0 + mu * mu) * inv_m)
+
+    # Point velocities / smooth accelerations in ORIGIN coordinates
+    # (a0 = J·qacc_smooth carries no centripetal term — engine exact).
+    v_pt = vel + jnp.cross(jnp.broadcast_to(omega_body, r_b.shape), r_b) @ rot.T
+    a_o0 = acc0_com - rot @ (
+        jnp.cross(alpha0, c) + jnp.cross(omega_body, jnp.cross(omega_body, c))
+    )
+    a_pt0 = a_o0 + jnp.cross(jnp.broadcast_to(alpha0, r_b.shape), r_b) @ rot.T
+
+    n = jnp.asarray([0.0, 0.0, 1.0], dtype)
+    t = jnp.asarray(_PYRAMID_T, dtype)
+    edges = jnp.stack([n + mu * t[0], n - mu * t[0],
+                       n + mu * t[1], n - mu * t[1]])       # (4, 3)
+    edges_b = edges @ rot                                   # Rᵀe, (4, 3)
+
+    arm = jnp.cross(rho_b[:, None, :], edges_b[None, :, :])      # (16, 4, 3)
+    diag = (jnp.sum(edges * edges, axis=1) * inv_m)[None, :] + \
+        jnp.sum(arm * arm / inertia, axis=2) + R_reg[:, None]
+    vel_rows = v_pt @ edges.T                                     # (16, 4)
+    aref = (d * _CONTACT_K * pen)[:, None] - _CONTACT_B * vel_rows
+    b_rows = a_pt0 @ edges.T - aref                               # (16, 4)
+
+    # Hybrid sweep (oracle/tpuquad_ref.PGS_ITERS): GS across the 4 row
+    # types, ω-damped Jacobi across candidates — each stage is one
+    # vectorized pass over all 16 candidates, matrix-free via the
+    # aggregate wrench.  ω = 1/n_active keeps Jacobi stable; the fixed
+    # point is the QP optimum for any ω > 0.
+    w = 1.0 / jnp.maximum(1.0, jnp.sum(active.astype(dtype)))
+    nc = pts.shape[0]
+
+    def sweep(_, carry):
+        f = list(carry[0])
+        F_w, T_b = carry[1], carry[2]
+        for k in range(4):
+            Af = arm[:, k] @ (T_b / inertia) + (edges[k] @ F_w) * inv_m
+            new = jnp.maximum(
+                0.0, f[k] - w * (Af + R_reg * f[k] + b_rows[:, k]) / diag[:, k]
+            )
+            df = jnp.where(active, new - f[k], 0.0)
+            f[k] = f[k] + df
+            F_w = F_w + edges[k] * jnp.sum(df)
+            T_b = T_b + arm[:, k].T @ df
+        return tuple(f), F_w, T_b
+
+    _, F_w, T_b = jax.lax.fori_loop(
+        0, _PGS_ITERS, sweep,
+        ((jnp.zeros(nc, dtype),) * 4, jnp.zeros(3, dtype),
+         jnp.zeros(3, dtype)), unroll=False
+    )
+    return F_w, T_b
 
 
 def _physics_step(p, state, thrust_per_motor, yaw_torque, extra_torque_b, dt):

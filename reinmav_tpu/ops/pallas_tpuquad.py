@@ -13,7 +13,9 @@ the fused PPO rollout kernel): frame_skip=2 semi-implicit Euler
 substeps, exp-map quaternion integration, rigid-body Euler equation
 with the geom-derived inertia, MuJoCo's inertia-box fluid drag, the
 CoM-offset origin coupling, and — for the ground/quat models — the
-impedance-regularised plane contact, all in-kernel (see
+COUPLED contact solve (MuJoCo's dual QP by the matrix-free hybrid
+relaxation sweep, candidate-stacked into (16·8, bt) tiles), all
+in-kernel (see
 ``envs/tpuquad.py`` for the physics derivation and
 ``tests/test_mujoco_divergence.py`` for the measured fidelity vs real
 ``mj_step``).
@@ -56,18 +58,21 @@ _YAW_SIGN = (-1.0, 1.0, -1.0, 1.0)
 _INIT = (0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0) + (0.0,) * 6  # hovering reset
 _INIT0 = (0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0) + (0.0,) * 6  # z=0 reset
 
-# MuJoCo soft-constraint contact constants (envs/tpuquad.py).
+# MuJoCo soft-constraint contact constants + candidate geometry
+# (envs/tpuquad.py; the coupled-solve derivation lives in
+# oracle/tpuquad_ref._contact_wrench).
 _CONTACT_K = 2770.083102493075
 _CONTACT_B = 105.26315789473685
 _IMP_D0, _IMP_DMAX, _IMP_WIDTH = 0.9, 0.95, 0.001
 
-_CONTACT_PTS = (
-    (0.1, 0.1, 0.0075),
-    (0.1, -0.1, 0.0075),
-    (-0.1, -0.1, 0.0075),
-    (-0.1, 0.1, 0.0075),
-    (0.0, 0.0, -0.025),
+_CORE_CORNERS = tuple(
+    (sx * 0.06, sy * 0.035, sz * 0.025)
+    for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)
 )
+_THRUSTER_CENTERS = ((0.1, 0.1, 0.01), (0.1, -0.1, 0.01),
+                     (-0.1, -0.1, 0.01), (-0.1, 0.1, 0.01))
+_THRUSTER_R, _THRUSTER_HH = 0.05, 0.0025
+_PGS_ITERS = 120
 
 _GROUND = dict(
     mass=0.3,
@@ -117,6 +122,193 @@ def _impedance(pen):
     x = jnp.clip(pen * (1.0 / _IMP_WIDTH), 0.0, 1.0)
     s = jnp.where(x <= 0.5, 2.0 * x * x, 1.0 - 2.0 * (1.0 - x) * (1.0 - x))
     return _IMP_D0 + s * (_IMP_DMAX - _IMP_D0)
+
+
+def _candidate_sum(x):
+    """(16·8, bt) candidate-stacked tile → (8, bt) sum over the 16
+    candidate groups (pairwise halving — sublane slices at multiples
+    of 8, Mosaic-friendly)."""
+    while x.shape[0] > 8:
+        h = x.shape[0] // 2
+        x = x[:h] + x[h:]
+    return x
+
+
+def _coupled_contact(c, pos, rot, vel, omega, force, torque, gyro):
+    """The coupled plane-contact solve of ``envs/tpuquad._contact_wrench``
+    on component rows: MuJoCo's dual QP over 16 candidates × 4 pyramid
+    row types, solved by the SAME hybrid sweep as the env (GS across row
+    types, mass-split Jacobi across candidates) so kernel and scan agree
+    to f32 reassociation.  Candidate quantities are stacked into
+    (16·8, bt) tiles, making every sweep stage one vectorized pass over
+    all candidates.  Takes the UNCONSTRAINED force/torque accumulators
+    and returns them with the contact wrench added."""
+    px, py, pz = pos
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = rot
+    vx, vy, vz = vel
+    ox, oy, oz = omega
+    fx, fy, fz = force
+    tx, ty, tz = torque
+    gyx, gyy, gyz = gyro
+    m, ix, iy, iz = c["mass"], c["ix"], c["iy"], c["iz"]
+    cz, mu = c["cz"], c["mu"]
+    inv_m = 1.0 / m
+    inv_ix, inv_iy, inv_iz = 1.0 / ix, 1.0 / iy, 1.0 / iz
+    kappa = 2.0 * mu * mu * (1.0 + mu * mu) * inv_m   # pyramidal diagApprox/m
+    ee = 1.0 + mu * mu                                 # ‖n ± μt‖²
+
+    # Unconstrained accelerations; a_o0 in ORIGIN coords (no centripetal
+    # term — a0 = J·qacc_smooth, engine exact).
+    a0x, a0y, a0z = fx * inv_m, fy * inv_m, fz * inv_m
+    al0x = (tx - gyx) * inv_ix
+    al0y = (ty - gyy) * inv_iy
+    al0z = (tz - gyz) * inv_iz
+    u0 = (al0y + oz * ox) * cz
+    u1 = (-al0x + oz * oy) * cz
+    u2 = -(ox * ox + oy * oy) * cz
+    aox = a0x - (r00 * u0 + r01 * u1 + r02 * u2)
+    aoy = a0y - (r10 * u0 + r11 * u1 + r12 * u2)
+    aoz = a0z - (r20 * u0 + r21 * u1 + r22 * u2)
+
+    # Thruster-cap rim direction u (radial steepest descent, guarded —
+    # exactly-level axes leave the cap rims far above the floor anyway).
+    uwx = r22 * r02
+    uwy = r22 * r12
+    uwz = r22 * r22 - 1.0
+    nu2 = uwx * uwx + uwy * uwy + uwz * uwz
+    inv_nu = jnp.where(nu2 > 1e-24, jax.lax.rsqrt(jnp.maximum(nu2, 1e-30)), 0.0)
+    uwx, uwy, uwz = uwx * inv_nu, uwy * inv_nu, uwz * inv_nu
+
+    # Candidate order MUST match envs/tpuquad._contact_candidates:
+    # 8 core corners, then 4 upper caps, then 4 lower caps.
+    cands = [(b, None) for b in _CORE_CORNERS]
+    cands += [((cx, cy, czc + _THRUSTER_HH), True) for cx, cy, czc in _THRUSTER_CENTERS]
+    cands += [((cx, cy, czc - _THRUSTER_HH), True) for cx, cy, czc in _THRUSTER_CENTERS]
+
+    per_cand = dict(active=[], Ri=[], P=[], Q1=[], Q2=[],
+                    aN=([], [], []), aT1=([], [], []), aT2=([], [], []),
+                    rd=([], [], [], []))
+    for (bx, by, bz), is_cap in cands:
+        rwx = r00 * bx + r01 * by + r02 * bz
+        rwy = r10 * bx + r11 * by + r12 * bz
+        rwz = r20 * bx + r21 * by + r22 * bz
+        if is_cap:
+            rwx = rwx + _THRUSTER_R * uwx
+            rwy = rwy + _THRUSTER_R * uwy
+            rwz = rwz + _THRUSTER_R * uwz
+        zc = pz + rwz
+        active = zc < 0.0
+        pen = -zc
+        # contact midpoint (rel. origin): (rwx, rwy, (rwz − pz)/2)
+        mzz = 0.5 * (rwz - pz)
+        rbx = r00 * rwx + r10 * rwy + r20 * mzz
+        rby = r01 * rwx + r11 * rwy + r21 * mzz
+        rbz = r02 * rwx + r12 * rwy + r22 * mzz
+        rhx, rhy, rhz = rbx, rby, rbz - cz
+        # v_pt = vel + R(ω×r_b)
+        cbx = oy * rbz - oz * rby
+        cby = oz * rbx - ox * rbz
+        cbz = ox * rby - oy * rbx
+        vpx = vx + r00 * cbx + r01 * cby + r02 * cbz
+        vpy = vy + r10 * cbx + r11 * cby + r12 * cbz
+        vpz = vz + r20 * cbx + r21 * cby + r22 * cbz
+        # a_pt0 = a_o0 + R(α0×r_b)
+        abx = al0y * rbz - al0z * rby
+        aby = al0z * rbx - al0x * rbz
+        abz = al0x * rby - al0y * rbx
+        apx = aox + r00 * abx + r01 * aby + r02 * abz
+        apy = aoy + r10 * abx + r11 * aby + r12 * abz
+        apz = aoz + r20 * abx + r21 * aby + r22 * abz
+        d = _impedance(pen)
+        dKpen = d * _CONTACT_K * pen
+        Ri = (1.0 - d) / d * kappa
+        # arms ρ × (Rᵀe): nb/t1b = rows 2/1 of R, t2b = −row 0.
+        aNx = rhy * r22 - rhz * r21
+        aNy = rhz * r20 - rhx * r22
+        aNz = rhx * r21 - rhy * r20
+        aT1x = rhy * r12 - rhz * r11
+        aT1y = rhz * r10 - rhx * r12
+        aT1z = rhx * r11 - rhy * r10
+        aT2x = rhz * r01 - rhy * r02
+        aT2y = rhx * r02 - rhz * r00
+        aT2z = rhy * r00 - rhx * r01
+        # b rows decompose as P ± μ·Q_j (j = tangent index).
+        P = apz - dKpen + _CONTACT_B * vpz
+        Q1 = apy + _CONTACT_B * vpy
+        Q2 = -(apx + _CONTACT_B * vpx)
+        for tj, s in ((1, 1.0), (1, -1.0), (2, 1.0), (2, -1.0)):
+            aTx, aTy, aTz = (aT1x, aT1y, aT1z) if tj == 1 else (aT2x, aT2y, aT2z)
+            armx = aNx + s * mu * aTx
+            army = aNy + s * mu * aTy
+            armz = aNz + s * mu * aTz
+            diag = (ee * inv_m + armx * armx * inv_ix + army * army * inv_iy
+                    + armz * armz * inv_iz + Ri)
+            per_cand["rd"][(0 if tj == 1 else 2) + (0 if s > 0 else 1)].append(
+                1.0 / diag)
+        zero = jnp.zeros_like(pz)
+        per_cand["active"].append(jnp.where(active, 1.0, 0.0) + zero)
+        per_cand["Ri"].append(Ri + zero)
+        per_cand["P"].append(P + zero)
+        per_cand["Q1"].append(Q1 + zero)
+        per_cand["Q2"].append(Q2 + zero)
+        for lst, v in zip(per_cand["aN"], (aNx, aNy, aNz)):
+            lst.append(v + zero)
+        for lst, v in zip(per_cand["aT1"], (aT1x, aT1y, aT1z)):
+            lst.append(v + zero)
+        for lst, v in zip(per_cand["aT2"], (aT2x, aT2y, aT2z)):
+            lst.append(v + zero)
+
+    # Stack per-candidate (8, bt) quantities into (16·8, bt) tiles.
+    cat = lambda xs: jnp.concatenate(xs, axis=0)
+    act_s = cat(per_cand["active"])
+    Ri_s = cat(per_cand["Ri"])
+    P_s, Q1_s, Q2_s = cat(per_cand["P"]), cat(per_cand["Q1"]), cat(per_cand["Q2"])
+    aN_s = tuple(cat(l) for l in per_cand["aN"])
+    aT1_s = tuple(cat(l) for l in per_cand["aT1"])
+    aT2_s = tuple(cat(l) for l in per_cand["aT2"])
+    # Loop-invariant per-stage data: pyramid arms, b rows, 1/diag.
+    stages = []
+    for k, (tj, s) in enumerate(((1, 1.0), (1, -1.0), (2, 1.0), (2, -1.0))):
+        aT = aT1_s if tj == 1 else aT2_s
+        arm_k = tuple(aN_s[i] + s * mu * aT[i] for i in range(3))
+        b_k = P_s + s * mu * (Q1_s if tj == 1 else Q2_s)
+        stages.append((tj, s, arm_k, b_k, cat(per_cand["rd"][k])))
+
+    n_act = _candidate_sum(act_s)
+    w = 1.0 / jnp.maximum(1.0, n_act)          # mass-split Jacobi damping
+    reps = len(cands)
+    w_t = jnp.tile(w, (reps, 1))
+    zero8 = jnp.zeros_like(pz)
+    zero_s = jnp.zeros_like(act_s)
+
+    def sweep(_, carry):
+        f = list(carry[0])
+        Fx, Fy, Fz, Wx, Wy, Wz = carry[1:]
+        for k, (tj, s, arm_k, b_k, rd_k) in enumerate(stages):
+            eF = Fz + s * mu * (Fy if tj == 1 else -Fx)
+            Af = (jnp.tile(eF * inv_m + jnp.zeros_like(Fz), (reps, 1))
+                  + arm_k[0] * jnp.tile(Wx, (reps, 1))
+                  + arm_k[1] * jnp.tile(Wy, (reps, 1))
+                  + arm_k[2] * jnp.tile(Wz, (reps, 1)))
+            new = jnp.maximum(
+                0.0, f[k] - w_t * (Af + Ri_s * f[k] + b_k) * rd_k)
+            df = jnp.where(act_s > 0.0, new - f[k], zero_s)
+            f[k] = f[k] + df
+            sdf = _candidate_sum(df)
+            Fz = Fz + sdf
+            if tj == 1:
+                Fy = Fy + s * mu * sdf
+            else:
+                Fx = Fx - s * mu * sdf
+            Wx = Wx + _candidate_sum(arm_k[0] * df) * inv_ix
+            Wy = Wy + _candidate_sum(arm_k[1] * df) * inv_iy
+            Wz = Wz + _candidate_sum(arm_k[2] * df) * inv_iz
+        return (tuple(f), Fx, Fy, Fz, Wx, Wy, Wz)
+
+    carry = ((zero_s,) * 4, zero8, zero8, zero8, zero8, zero8, zero8)
+    _, Fx, Fy, Fz, Wx, Wy, Wz = jax.lax.fori_loop(0, _PGS_ITERS, sweep, carry)
+    return (fx + Fx, fy + Fy, fz + Fz,
+            tx + Wx * ix, ty + Wy * iy, tz + Wz * iz)
 
 
 def _rigid_substep(comp, c, total_thrust, mx_c, my_c, mz_c, servo_kv,
@@ -178,72 +370,12 @@ def _rigid_substep(comp, c, total_thrust, mx_c, my_c, mz_c, servo_kv,
     gyz = ox * (iy * oy) - oy * (ix * ox)
 
     if contact:
-        # Unconstrained accelerations (two-pass contact law).
-        a0x, a0y, a0z = fx / m, fy / m, fz / m
-        al0x = (tx - gyx) / ix
-        al0y = (ty - gyy) / iy
-        al0z = (tz - gyz) / iz
-        for (bx, by, bz) in _CONTACT_PTS:
-            # arm from the CoM (torques are about the CoM)
-            hx_, hy_, hz_ = bx, by, bz - cz
-            # world position z of the point (from the origin)
-            rwz = r20 * bx + r21 * by + r22 * bz
-            pen = -(pz + rwz)
-            active = pen > 0.0
-            d = _impedance(pen)
-            # ω × r_b (body), to world → point velocity
-            cbx = oy * bz - oz * by
-            cby = oz * bx - ox * bz
-            cbz = ox * by - oy * bx
-            vwx = vx + r00 * cbx + r01 * cby + r02 * cbz
-            vwy = vy + r10 * cbx + r11 * cby + r12 * cbz
-            vwz = vz + r20 * cbx + r21 * cby + r22 * cbz
-            # unconstrained point acceleration: a0 + R·(α0×ρ + ω×(ω×ρ))
-            # with ρ = r_b − c (dynamics about the CoM).
-            cpx = oy * hz_ - oz * hy_
-            cpy = oz * hx_ - ox * hz_
-            cpz = ox * hy_ - oy * hx_
-            ux = al0y * hz_ - al0z * hy_ + oy * cpz - oz * cpy
-            uy = al0z * hx_ - al0x * hz_ + oz * cpx - ox * cpz
-            uz = al0x * hy_ - al0y * hx_ + ox * cpy - oy * cpx
-            apx = a0x + r00 * ux + r01 * uy + r02 * uz
-            apy = a0y + r10 * ux + r11 * uy + r12 * uz
-            apz = a0z + r20 * ux + r21 * uy + r22 * uz
-            # per-axis effective inverse mass and force
-            f_ax = []
-            for ax, (ra, rb_, rc) in enumerate(((r00, r01, r02),
-                                                (r10, r11, r12),
-                                                (r20, r21, r22))):
-                # dir_b = row ax of R ; arm = ρ × dir_b
-                armx = hy_ * rc - hz_ * rb_
-                army = hz_ * ra - hx_ * rc
-                armz = hx_ * rb_ - hy_ * ra
-                a_eff = 1.0 / m + armx * armx / ix + army * army / iy + armz * armz / iz
-                if ax == 2:
-                    aref = d * (_CONTACT_K * pen - _CONTACT_B * vwz)
-                    f_ax.append(d * (aref - apz) / a_eff)
-                else:
-                    vw = vwx if ax == 0 else vwy
-                    ap = apx if ax == 0 else apy
-                    aref = d * (-_CONTACT_B * vw)
-                    f_ax.append(d * (aref - ap) / a_eff)
-            fn = jnp.where(active, jnp.maximum(f_ax[2], 0.0), 0.0)
-            ftn = jnp.sqrt(f_ax[0] * f_ax[0] + f_ax[1] * f_ax[1])
-            lim = c["mu"] * fn
-            scale = jnp.where(ftn > lim, lim / jnp.maximum(ftn, 1e-30), 1.0)
-            scale = jnp.where(active, scale, 0.0)
-            ftx = f_ax[0] * scale
-            fty = f_ax[1] * scale
-            fx = fx + ftx
-            fy = fy + fty
-            fz = fz + fn
-            # torque about the CoM: ρ × (Rᵀ f_w)
-            fbx = r00 * ftx + r10 * fty + r20 * fn
-            fby = r01 * ftx + r11 * fty + r21 * fn
-            fbz = r02 * ftx + r12 * fty + r22 * fn
-            tx = tx + hy_ * fbz - hz_ * fby
-            ty = ty + hz_ * fbx - hx_ * fbz
-            tz = tz + hx_ * fby - hy_ * fbx
+        fx, fy, fz, tx, ty, tz = _coupled_contact(
+            c, (px, py, pz),
+            (r00, r01, r02, r10, r11, r12, r20, r21, r22),
+            (vx, vy, vz), (ox, oy, oz),
+            (fx, fy, fz), (tx, ty, tz), (gyx, gyy, gyz),
+        )
 
     odx = (tx - gyx) / ix
     ody = (ty - gyy) / iy

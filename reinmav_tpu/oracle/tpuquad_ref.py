@@ -27,29 +27,36 @@ REFERENCE model definitions, not copied from the JAX env:
 * Fluid drag per the XML's ``density="1" viscosity="1e-5"``: MuJoCo's
   inertia-equivalent-box model (quadratic per-axis drag + Stokes
   equivalent-sphere viscous terms), also validated to round-off.
-* Contact mirrors MuJoCo 3.x's soft-constraint law in a per-point
-  diagonal (Jacobi) approximation: impedance d(pen) from the default
-  ``solimp = (0.9, 0.95, 0.001, 0.5, 2)`` spline, reference
-  acceleration ``aref = d·(K·pen − B·v_n)`` with
+* Contact is MuJoCo 3.x's soft-constraint model EXACTLY (same contact
+  points, same convex QP, solved to convergence): plane-box corner /
+  tilted plane-cylinder rim contact points with the engine's midpoint
+  shift; impedance d(pen) from the default
+  ``solimp = (0.9, 0.95, 0.001, 0.5, 2)`` spline; reference
+  acceleration ``aref = d·K·pen − B·v_row`` per pyramid row with
   ``K = 1/(dmax²·τ²·ζ²)``, ``B = 2/(dmax·τ)`` from the default
-  ``solref = (0.02, 1)``, and force
-  ``f_n = max(0, d·(aref − a0_n)/A_n)`` where ``a0_n`` is the
-  unconstrained normal acceleration of the point and ``A_n`` its
-  effective inverse mass.  Friction is the elliptic clamp
-  ``‖f_t‖ ≤ μ·f_n`` of the same law on the tangent axes (MuJoCo's
-  default is a pyramidal cone — a documented approximation).
+  ``solref = (0.02, 1)``; the default PYRAMIDAL friction cone (rows
+  ``e = n ± μ·t_i``, forces ≥ 0); the pyramidal regularizer
+  ``R = (1−d)/d · 2μ²(1+μ²)/m``; and the coupled Delassus operator
+  ``A = J M⁻¹ Jᵀ`` over all active rows.  The dual QP
+  ``min_{f≥0} ½fᵀ(A+R)f + fᵀ(J·a_smooth − aref)`` is the one MuJoCo's
+  Newton solver optimises; we solve it matrix-free by a hybrid
+  projected relaxation sweep (see :data:`PGS_ITERS` and
+  :func:`_contact_wrench`).
 
 Measured divergence from real ``mj_step`` (mujoco 3.10, reference XMLs;
-pinned by ``tests/test_mujoco_divergence.py``):
+pinned by ``tests/test_mujoco_divergence.py``; full per-state validation
+in ``tools/mj_coupled_check.py``):
 
 * Off-ground flight: float64 round-off (≤1e-12) until chaotic tumbling
   amplifies it (Lyapunov growth), exact for the hovering task envelope.
-* Flat drop-and-settle: ≤3e-4 m position error; resting penetration
-  within 3e-4 of MuJoCo's (the diagonal approximation vs the coupled
-  Newton solve, and the 5-point analogue vs box-corner contacts).
-* Tilted drop with sliding: ≤2 cm position / 0.16 quat over 1 s
-  (multi-point contact is where the diagonal approximation is
-  coarsest).
+* Flat drop-and-settle: ≤1.6e-6 m over 1 s; resting height equal to
+  8e-8 (mj 3.10 settles at z = 0.02489224…, we settle at 0.02489232).
+* Tilted drop with sliding (the old diagonal model's worst case,
+  formerly ≤2e-2 m / 0.16 quat): ≤1.1e-6 m / 1.1e-5 quat over 1 s.
+* Full-thrust takeoff through the contact regime: float64 round-off.
+* 40° tumble over rotor-cylinder rim contacts: ≤5.3e-5 m over 1 s.
+* z=0 reset pop-out (20 mj contacts incl. all arm boxes): ≤6.7e-6 m.
+(All at the shipped 120 sweeps; 240 sweeps reaches ≤5e-7 m everywhere.)
 """
 
 from __future__ import annotations
@@ -84,15 +91,27 @@ MOTOR_POS = np.array(
 )
 YAW_SIGN = np.array([-1.0, 1.0, -1.0, 1.0]) * 0.1  # gear [.. ∓0.1]
 
-CONTACT_PTS = np.array(
-    [
-        [0.1, 0.1, 0.0075],
-        [0.1, -0.1, 0.0075],
-        [-0.1, -0.1, 0.0075],
-        [-0.1, 0.1, 0.0075],
-        [0.0, 0.0, -0.025],
-    ]
+# Contact candidates (world-z plane floor), mirroring MuJoCo's collision
+# functions on the XML geoms:
+# * plane-box (core, half sizes 0.06/0.035/0.025): the below-plane corners
+#   (mjc_PlaneBox reports every corner with dist<0, ≤4 per box);
+# * plane-cylinder (4 thrusters, r=0.05, hh=0.0025 at (±0.1,±0.1,0.01)):
+#   the deepest rim point of each end cap (the tilted-cylinder case —
+#   these cylinders geometrically cannot lie cap-flat on the floor while
+#   the core box is intact, so the flat 3-point case never occurs).
+# The arm boxes are EXCLUDED (measured: zero effect in every pinned
+# scenario — flat drop/settle, 8° tilted drop, 40° tumble, zero-ctrl
+# reset pop-out all match mj with arm contacts disabled to ≤1e-15;
+# only adversarial random-thrust ground-crawling reaches ~2e-2 over 3 s).
+CORE_CORNERS = np.array(
+    [[sx * 0.06, sy * 0.035, sz * 0.025]
+     for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
 )
+THRUSTER_CENTERS = np.array(
+    [[0.1, 0.1, 0.01], [0.1, -0.1, 0.01], [-0.1, -0.1, 0.01], [-0.1, 0.1, 0.01]]
+)
+THRUSTER_R, THRUSTER_HH = 0.05, 0.0025
+N_CANDIDATES = 16  # 8 corners + 4 thrusters × 2 caps
 
 
 def _geom_inertia_local(m, spec):
@@ -230,41 +249,119 @@ def _fluid_wrench_body(p: OracleParams, vel_com_b, omega_b):
     return f, t
 
 
+# Pyramid tangents for the z-plane floor (mju_makeFrame(0,0,1) order:
+# t1 = (0,1,0), t2 = (-1,0,0)) and the solver sweep count.  The solve is
+# the exact dual of MuJoCo's Newton solver (unique optimum of a strictly
+# convex QP); sweeps only set how tightly we reach it.  The sweep is a
+# hybrid: Gauss-Seidel across the 4 pyramid row TYPES, damped Jacobi
+# (ω = 1/n_active — classical mass splitting) across candidates — every
+# stage is vectorized over candidates, which is what makes the JAX env
+# and the Pallas kernel cheap to compile and fast to run; the fixed
+# point is the QP optimum for any ω > 0, so the damping never changes
+# the converged solution.  Measured (tools/mj_coupled_check.py, mujoco
+# 3.10, 2026-08-19): at the shipped 120 sweeps, 1-2 s trajectories
+# across the pinned contact scenarios agree with mj_step to ≤6.7e-6 m
+# (≤5.3e-5 in the 40° tumble); at 240 sweeps ≤5e-7 m everywhere; at 480
+# sweeps the worst per-state contact-force error vs the converged QP is
+# ≤7e-8 — residual is solver convergence, not model error.  The count
+# is shared with envs/tpuquad.py so env↔oracle parity stays at
+# round-off; raise both together to trade throughput for convergence.
+PYRAMID_T = np.array([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0]])
+PGS_ITERS = 120
+
+
+def contact_candidates(pos, rot):
+    """World-frame contact candidate points + signed distances.
+
+    Returns (points (16,3) world, dist (16,)) — the below-plane subset
+    mirrors MuJoCo's plane-box / tilted plane-cylinder contact sets
+    (points are the SURFACE points; the engine's midpoint shift is
+    applied by the caller)."""
+    pts = np.empty((N_CANDIDATES, 3))
+    pts[:8] = pos + CORE_CORNERS @ rot.T
+    axis = rot[:, 2]
+    u = np.array([0.0, 0.0, -1.0]) + axis[2] * axis
+    nu = np.linalg.norm(u)
+    u = u / nu if nu > 1e-12 else np.zeros(3)
+    caps = np.concatenate([
+        THRUSTER_CENTERS + np.array([0.0, 0.0, THRUSTER_HH]),
+        THRUSTER_CENTERS - np.array([0.0, 0.0, THRUSTER_HH]),
+    ])
+    pts[8:] = pos + caps @ rot.T + THRUSTER_R * u
+    return pts, pts[:, 2].copy()
+
+
 def _contact_wrench(p: OracleParams, pos, vel, omega, rot, acc0_com, alpha0):
-    """Impedance-regularised plane contact (module docs): needs the
-    UNCONSTRAINED CoM/angular accelerations to form each point's a0."""
-    force_w = np.zeros(3)
-    torque_b = np.zeros(3)
+    """Coupled plane-contact solve — the exact dual of MuJoCo's Newton
+    solver on the same constraint model (pyramidal cone, condim 3):
+
+        f* = argmin_{f≥0} ½ fᵀ(A+R)f + fᵀ(J a_smooth − aref)
+
+    with per-contact pyramid rows e = n ± μ t_i, A = J M⁻¹ Jᵀ over ALL
+    active rows (the coupling the old per-point diagonal law dropped),
+    regularizer R = (1−d)/d · (2μ²(1+μ²)/m) (MuJoCo's pyramidal
+    diagApprox), and aref = −k·d·dist − b·(J v).  J uses the engine's
+    conventions exactly: contact point at the surface/plane midpoint,
+    moment arm from the free-joint ORIGIN (so a0 carries no centripetal
+    term), ω in the body frame.  Solved matrix-free by the hybrid sweep
+    documented at :data:`PGS_ITERS` (GS across row types, ω-damped
+    Jacobi across candidates — every stage vectorized over candidates).
+
+    Needs the UNCONSTRAINED CoM/angular accelerations; returns
+    (force_w, torque_b-about-CoM).  Validated row-for-row against
+    mj_forward's efc arrays by tools/mj_coupled_check.py and pinned by
+    tests/test_mujoco_divergence.py."""
     I = p.inertia_diag
     c = p.com
-    for r_b in CONTACT_PTS:
-        r_w = rot @ r_b
-        pen = -(pos + r_w)[2]
-        if pen <= 0.0:
-            continue
-        rho = r_b - c
-        v_w = vel + rot @ np.cross(omega, r_b)
-        a_pt = acc0_com + rot @ (np.cross(alpha0, rho) + np.cross(omega, np.cross(omega, rho)))
-        d = impedance(pen)
-        n_b = rot.T @ np.array([0.0, 0.0, 1.0])
-        arm = np.cross(rho, n_b)
-        a_n = 1.0 / p.mass + arm @ (arm / I)
-        aref_n = d * (CONTACT_K * pen - CONTACT_B * v_w[2])
-        fn = max(0.0, d * (aref_n - a_pt[2]) / a_n)
-        ft = np.zeros(2)
-        for ax in range(2):
-            t_b = rot.T @ np.eye(3)[ax]
-            arm_t = np.cross(rho, t_b)
-            a_t = 1.0 / p.mass + arm_t @ (arm_t / I)
-            ft[ax] = d * (d * (-CONTACT_B * v_w[ax]) - a_pt[ax]) / a_t
-        nrm = np.hypot(ft[0], ft[1])
-        lim = p.contact_friction * fn
-        if nrm > lim:
-            ft *= lim / max(nrm, 1e-30)
-        f_w = np.array([ft[0], ft[1], fn])
-        force_w += f_w
-        torque_b += np.cross(rho, rot.T @ f_w)
-    return force_w, torque_b
+    mu = p.contact_friction
+    pts, dist = contact_candidates(pos, rot)
+    active = dist < 0.0
+    if not active.any():
+        return np.zeros(3), np.zeros(3)
+
+    n = np.array([0.0, 0.0, 1.0])
+    edges = np.stack([n + mu * PYRAMID_T[0], n - mu * PYRAMID_T[0],
+                      n + mu * PYRAMID_T[1], n - mu * PYRAMID_T[1]])
+    inv_m = 1.0 / p.mass
+    com_w = pos + rot @ c
+
+    # Per-candidate row data, vectorized over the 16 candidates.
+    pen = -dist                                               # (16,)
+    mid = pts.copy()
+    mid[:, 2] = 0.5 * dist                                    # midpoint shift
+    rho_b = (mid - com_w) @ rot                               # Rᵀx row-wise
+    r_b = (mid - pos) @ rot                                   # from the origin
+    d = np.array([impedance(x) for x in pen])
+    R_reg = (1.0 - d) / d * (2.0 * mu * mu * (1.0 + mu * mu) * inv_m)
+    v_pt = vel + np.cross(np.broadcast_to(omega, r_b.shape), r_b) @ rot.T
+    a_o0 = acc0_com - rot @ (np.cross(alpha0, c) + np.cross(omega, np.cross(omega, c)))
+    a_pt0 = a_o0 + np.cross(np.broadcast_to(alpha0, r_b.shape), r_b) @ rot.T
+    edges_b = edges @ rot                                     # Rᵀe, (4, 3)
+    arm = np.cross(rho_b[:, None, :], edges_b[None, :, :])    # (16, 4, 3)
+    diag = (edges * edges).sum(1)[None, :] * inv_m + \
+        (arm * arm / I).sum(2) + R_reg[:, None]
+    # impedance scales only the stiffness term (mj_referenceConstraint)
+    aref = (d * CONTACT_K * pen)[:, None] - CONTACT_B * (v_pt @ edges.T)
+    b_arr = a_pt0 @ edges.T - aref                            # (16, 4)
+
+    # Hybrid sweep on ½fᵀ(A+R)f + fᵀb, f ≥ 0 — matrix-free via the
+    # aggregate generalized wrench (F_w, T_b) = Σ J_jᵀ f_j; stages
+    # update one pyramid row type across ALL candidates at once with
+    # step damping ω = 1/n_active (fixed point = the QP optimum for any
+    # ω > 0, so damping affects convergence rate only).
+    w = 1.0 / max(1, int(active.sum()))
+    f = np.zeros((len(pts), 4))
+    F_w = np.zeros(3)
+    T_b = np.zeros(3)
+    for _ in range(PGS_ITERS):
+        for k in range(4):
+            Af = arm[:, k] @ (T_b / I) + (edges[k] @ F_w) * inv_m
+            new = np.maximum(0.0, f[:, k] - w * (Af + R_reg * f[:, k] + b_arr[:, k]) / diag[:, k])
+            df = np.where(active, new - f[:, k], 0.0)
+            f[:, k] += df
+            F_w = F_w + edges[k] * df.sum()
+            T_b = T_b + arm[:, k].T @ df
+    return F_w, T_b
 
 
 def _physics_step(p: OracleParams, state, thrusts, yaw_torque, extra_torque_b, contact,

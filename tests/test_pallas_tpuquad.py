@@ -84,34 +84,44 @@ def _scan_zero_action(env, states, horizon):
     ("MujocoQuadForce-v0", "ground"),
     ("MujocoQuadQuat-v0", "quat"),
 ])
-def test_contact_kernel_matches_scan(env_id, model):
-    """Ground-riding envs: the kernel's in-kernel compliant contact must
-    reproduce the scan path free-running (deterministic dynamics, zero
-    action, starting ON the plane so contact is active throughout)."""
+def test_contact_kernel_matches_scan(env_id, model, monkeypatch):
+    """Ground-riding envs: the kernel's in-kernel COUPLED contact solve
+    (matrix-free PGS on MuJoCo's dual QP) must reproduce the scan path
+    from contact-heavy states.
+
+    The PGS sweep count is lowered to 8 on BOTH sides for this test
+    only: kernel≡scan is a per-row-math property independent of the
+    sweep count, and interpret mode executes the in-kernel solve
+    op-by-op in Python (~1 s per env-step at the production 60)."""
     from jax.experimental.pallas import tpu as pltpu
+    from reinmav_tpu.envs import tpuquad as tpuquad_env
     from reinmav_tpu.ops import pallas_tpuquad
 
+    monkeypatch.setattr(tpuquad_env, "_PGS_ITERS", 8)
+    monkeypatch.setattr(pallas_tpuquad, "_PGS_ITERS", 8)
+
     env = reinmav_tpu.make(env_id)
-    B, T = 256, 60
+    B, T = 64, 12
     rng = np.random.default_rng(3)
     base = np.tile(np.asarray(pallas_tpuquad._INIT0, np.float32), (B, 1))
-    # Perturb attitude/velocity so the contact sees tilted, moving bodies.
+    # Perturb attitude/velocity so the contact sees tilted, moving bodies
+    # (incl. tilts that ride the thruster-cylinder rim candidates).
     base[:, 2] += rng.uniform(0.0, 0.05, B)          # slight drop heights
-    base[:, 4:7] += rng.uniform(-0.05, 0.05, (B, 3))  # quat tilt
+    base[:, 4:7] += rng.uniform(-0.25, 0.25, (B, 3))  # quat tilt
     base[:, 7:13] += rng.uniform(-0.2, 0.2, (B, 6))
     base[:, 3:7] /= np.linalg.norm(base[:, 3:7], axis=1, keepdims=True)
     states = jnp.asarray(base)
 
     # Per-step resynchronisation (the slung-load precedent, CLAUDE.md):
-    # the impedance contact law has knife-edge branches (fn > 0 clamp,
-    # elliptic friction-cone clamp, the d(pen) spline's piecewise knot)
-    # that f32 reassociation differences flip on straddling lanes; a
-    # free-running comparison amplifies a flipped branch into O(1) state
-    # divergence.  Comparing one step at a time from identical states
-    # pins the kernel's physics tightly without chasing chaos.
+    # the contact solve has knife-edge branches (the f ≥ 0 projection
+    # per PGS row, the candidate active mask, the d(pen) spline's
+    # piecewise knot) that f32 reassociation differences flip on
+    # straddling lanes; a free-running comparison amplifies a flipped
+    # branch into O(1) state divergence.  Comparing one step at a time
+    # from identical states pins the kernel's physics tightly.
     s_sync = states
     step_jit = jax.jit(lambda s: _scan_zero_action(env, s, 1))
-    for t in range(0, T, 4):
+    for t in range(0, T, 3):
         f_scan1, _ = step_jit(s_sync)
         with pltpu.force_tpu_interpret_mode():
             f_pal1, _ = pallas_tpuquad.contact_rollout_pallas8(
@@ -134,6 +144,6 @@ def test_contact_kernel_matches_scan(env_id, model):
         float(np.asarray(z_pal).mean()), float(np.asarray(z_scan).mean()),
         rtol=1e-2,
     )
-    # Contact genuinely engaged: bodies settled near the plane, not in
-    # freefall (z would be ~ -1.7 after 0.6 s of freefall).
+    # Contact genuinely engaged: bodies stay near the plane, not in
+    # freefall.
     assert np.asarray(f_pal.T)[:, 2].min() > -0.1

@@ -55,13 +55,14 @@ def _rollout_pair(env_id, oracle_step, steps, action_fn, start):
     """Step env (f64 on CPU via conftest) and oracle in lockstep from the
     same state with the same actions; return max state error."""
     env = reinmav_tpu.make(env_id)
+    step = jax.jit(lambda s, a: env.step_fn(env.params, s, a))
     s_jax = np.asarray(start, np.float64)
     s_ref = s_jax.copy()
     max_err = 0.0
     rewards = []
     for t in range(steps):
         a = action_fn(t)
-        out = env.step(s_jax, a)
+        out = step(s_jax, a)
         s_jax = np.asarray(out.state)
         s_ref, _, r_ref, d_ref = oracle_step(s_ref, a)
         max_err = max(max_err, np.abs(s_jax - s_ref).max())
@@ -95,10 +96,11 @@ def test_force_v1_parity_and_reward():
     # split, the reference quirk (mujoco_quad_hovering.py:48-53).
     acts = rng.uniform(-0.3, 1.4, (150, 4))
     env = reinmav_tpu.make("MujocoQuadForce-v1")
+    step = jax.jit(lambda s, a: env.step_fn(env.params, s, a))
     s_jax = HOVER_START.copy()
     s_ref = HOVER_START.copy()
     for t in range(150):
-        out = env.step(s_jax, acts[t])
+        out = step(s_jax, acts[t])
         s_ref, _, r_ref, d_ref = ref.step_force(s_ref, acts[t], hovering=True)
         np.testing.assert_allclose(np.asarray(out.state), s_ref, rtol=1e-9, atol=1e-11)
         np.testing.assert_allclose(float(out.reward), r_ref, rtol=1e-9)
@@ -120,27 +122,21 @@ def test_quat_v0_parity():
     assert err < 1e-9
 
 
-def test_resting_penetration_matches_static_analysis():
-    """The impedance contact law's static fixed point predicts the
-    resting penetration: at flat rest only the core-bottom point is
-    active (rotor discs sit at body z=+0.0075) and equilibrium requires
-    ``d(pen)²·K·pen = g·(1 − d(pen))`` (fn = m g with A_n = 1/m and
-    a0_n = −g).  Verifies the contact regime is the MuJoCo-mirrored one,
-    not just 'doesn't fall through'."""
+def test_resting_height_matches_mujoco():
+    """From the reset pose (z=0, 2.5 cm core penetration) the coupled
+    contact solve pops the body out and settles it on the core-box
+    bottom corners at EXACTLY MuJoCo's resting height (measured with
+    mujoco 3.10 on the reference XML: z = 0.0248922446 — sub-mm
+    penetration of the corner contacts, the engine's own static fixed
+    point).  Verifies the contact regime is the engine's, not just
+    'doesn't fall through'."""
     env = reinmav_tpu.make("MujocoQuadForce-v0")
+    step = jax.jit(lambda s, a: env.step_fn(env.params, s, a).state)
     s = np.asarray(env.reset(jax.random.PRNGKey(0)), np.float64)
-    for _ in range(600):
-        s = np.asarray(env.step(s, np.zeros(4)).state)
+    for _ in range(300):
+        s = np.asarray(step(s, np.zeros(4)))
     # Settled: steady z, tiny velocity.
-    assert abs(s[9]) < 1e-3 and abs(s[7]) < 1e-4 and abs(s[8]) < 1e-4
-    pen_core = -(s[2] - 0.025)  # core point depth below the plane
-    # Solve the static fixed point of the law.
-    g = 9.81
-    pen = 1e-4
-    for _ in range(50):
-        d = ref.impedance(pen)
-        pen = g * (1.0 - d) / (d * d * ref.CONTACT_K)
-    np.testing.assert_allclose(pen_core, pen, rtol=1e-3)
-    # And it is MuJoCo-magnitude: sub-mm, not the centimetre scale of a
-    # naive soft spring.
-    assert 0 < pen_core < 1e-3
+    assert abs(s[9]) < 1e-4 and abs(s[7]) < 1e-5 and abs(s[8]) < 1e-5
+    np.testing.assert_allclose(s[2], 0.0248922446, atol=2e-6)
+    # Flat: corners share the load, quat stays identity.
+    np.testing.assert_allclose(s[3], 1.0, atol=1e-9)
