@@ -10,6 +10,7 @@ import numpy as np
 import reinmav_tpu
 from reinmav_tpu.rl import sac
 from reinmav_tpu.ops import pallas_offpolicy as pop
+from reinmav_tpu.ops import pallas_ppo_rollout as ppr
 
 K = 64
 env = reinmav_tpu.make("MujocoQuadForce-v1")
@@ -39,6 +40,7 @@ def fused_collect(actor, states_t, kk, warm):
     consts = sac._collect_consts(env, warm, 0.0)
     new_rows, block_rows = pop.collect_step_pallas(
         env.name, "sac", states_t.reshape(8 * d, B // 8), seed, consts,
+        ppr.env_params_vec(env),
         *pop.actor_kernel_args(actor), tile=128)
     return (new_rows.reshape(d, B),
             block_rows.reshape(R, B))

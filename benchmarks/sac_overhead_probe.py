@@ -10,6 +10,7 @@ import numpy as np
 import reinmav_tpu
 from reinmav_tpu.rl import sac
 from reinmav_tpu.ops import pallas_offpolicy as pop
+from reinmav_tpu.ops import pallas_ppo_rollout as ppr
 
 K = 64
 env = reinmav_tpu.make("MujocoQuadForce-v1")
@@ -83,6 +84,7 @@ def collect_tile(tile):
             consts = sac._collect_consts(env, jnp.zeros((), jnp.float32), 0.0)
             new_rows, block_rows = pop.collect_step_pallas(
                 env.name, "sac", st, seed, consts,
+                ppr.env_params_vec(env),
                 *pop.actor_kernel_args(s.actor), tile=tile)
             return (new_rows, kk), jnp.mean(block_rows[8 * (d + a)])
         c, r = jax.lax.scan(it, (s.env_states.T.reshape(8 * d, B // 8),

@@ -405,18 +405,28 @@ def fused_kernel_mismatch(env: EnvDef, require_control: bool = True,
     (None = eligible).  The kernels bake in the registry's module
     FUNCTIONS, so a wrapped env (same name, replaced fns) is refused by
     identity.  Params: with ``packed_params=True`` (the THROUGHPUT
-    kernels, which take the live Params as an SMEM vector) any param
-    values are accepted when the registry entry has a ``params_pack``;
-    otherwise — and for the policy-driven kernels (PPO fused rollout,
-    off-policy fused collection), which still bake defaults — any
-    non-default params are refused rather than silently running default
-    physics.  ``require_control=False`` skips the classical-controller
-    identity check (policy-driven kernels replace the controller)."""
+    kernels AND the policy-driven kernels — PPO fused rollout,
+    off-policy fused collection — all take the live Params as an SMEM
+    vector) any param values are accepted when the registry entry has a
+    ``params_pack``; otherwise (the non-parameterised kernels: reinmav,
+    Force-v0, Quat-v0) any non-default params are refused rather than
+    silently running default physics.  ``require_control=False`` skips
+    the classical-controller identity check (policy-driven kernels
+    replace the controller)."""
     entry = _fused_kernel_registry().get(env.name)
     if entry is None:
         return f"no fused kernel for {env.name}"
     ops, step_fn, control_fn, reset_fn, default_params, pack = entry
-    fns_ok = env.step_fn is step_fn and env.reset_fn is reset_fn
+    # tpuquad's deterministic resets: a non-default init_z is a fresh
+    # _deterministic_reset closure (envs/tpuquad.py), not the registry
+    # object — accept it iff its baked init_z matches the env's Params
+    # (the parameterised kernels reset to the SMEM init_z).
+    reset_ok = env.reset_fn is reset_fn or (
+        getattr(reset_fn, "det_reset_init_z", None) is not None
+        and getattr(env.reset_fn, "det_reset_init_z", None)
+        == float(getattr(env.params, "init_z", float("nan")))
+    )
+    fns_ok = env.step_fn is step_fn and reset_ok
     if require_control and control_fn is not None:
         fns_ok = fns_ok and env.control_fn is control_fn
     if not fns_ok:

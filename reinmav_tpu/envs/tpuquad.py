@@ -476,6 +476,12 @@ def _deterministic_reset(init_z: float):
         del params, key
         return jnp.asarray([0.0, 0.0, init_z, 1.0, 0.0, 0.0, 0.0] + [0.0] * 6)
 
+    # Identity tag for the fused-kernel dispatch (envs/core.py
+    # fused_kernel_mismatch): a non-default init_z produces a fresh
+    # closure, but any _deterministic_reset product whose init_z matches
+    # the env's Params is semantically the registry reset — the kernels
+    # read init_z from the SMEM params vector.
+    reset_fn.det_reset_init_z = float(init_z)
     return reset_fn
 
 

@@ -68,15 +68,18 @@ def available() -> bool:
 _MODES = ("sac", "sac_det", "td3", "td3_det")
 
 
-def _kernel(env_kind, mode, cd, seed_ref, consts_ref,
+def _kernel(env_kind, mode, cd, seed_ref, consts_ref, pvec_ref,
             s_in_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
             s_out_ref, block_ref):
     """One batch-tile: policy -> sample -> scale -> env step -> autoreset
     -> replay block.
 
     consts layout (f32): [warm_gate, explore_noise, lo(A), hi(A)].
+    ``pvec_ref``: the live env Params SMEM vector (per-env pack —
+    ppr._ENVS), so param sweeps keep the fused collection.
     """
-    d, adim, step_tiles, reset_rows = ppr._ENVS[env_kind]
+    d, adim, step_tiles, reset_rows, _, read_pv = ppr._ENVS[env_kind]
+    pv = read_pv(pvec_ref)
     b = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + b * jnp.int32(2654435761 & 0x7FFFFFFF))
 
@@ -131,7 +134,7 @@ def _kernel(env_kind, mode, cd, seed_ref, consts_ref,
     act_comps = [rows(act8, i) for i in range(adim)]
     pol8 = a_t.reshape(8 * adim, tile)          # stored policy-space action
 
-    new_comp, raw_reward, done = step_tiles(comp, act_comps)
+    new_comp, raw_reward, done = step_tiles(comp, act_comps, pv)
     done8 = done.astype(jnp.float32)
 
     # Replay block in ring row order (sac._row_dims): obs, action[-1,1],
@@ -141,7 +144,7 @@ def _kernel(env_kind, mode, cd, seed_ref, consts_ref,
 
     # Auto-reset done lanes (post-block: the block keeps terminal obs).
     stacked = jnp.concatenate(new_comp, axis=0)
-    draw = reset_rows(stacked.shape, stacked.dtype)
+    draw = reset_rows(stacked.shape, stacked.dtype, pv)
     s_out_ref[:, :] = jnp.where(jnp.tile(done, (d, 1)), draw, stacked)
 
 
@@ -150,7 +153,7 @@ def _kernel(env_kind, mode, cd, seed_ref, consts_ref,
     static_argnames=("env_kind", "mode", "tile", "compute_dtype"),
 )
 def collect_step_pallas(env_kind: str, mode: str, states_rows, seed, consts,
-                        w1, b1, w2, b2, w3, b3,
+                        pvec, w1, b1, w2, b2, w3, b3,
                         tile: int = 128, compute_dtype: str = "float32"):
     """Fused off-policy collection step.
 
@@ -159,6 +162,8 @@ def collect_step_pallas(env_kind: str, mode: str, states_rows, seed, consts,
         transposed env states (``states_t.reshape(8*D, B//8)``).
       seed: (1,) int32 for the on-core PRNG.
       consts: f32 vector [warm_gate, explore_noise, lo(A), hi(A)].
+      pvec: the env's LIVE Params as the per-env SMEM f32 vector
+        (:func:`pallas_ppo_rollout.env_params_vec`).
       w1..b3: actor MLP params — w (din, dout) as in ``sac._mlp_init``,
         biases reshaped (dout, 1).  SAC heads emit 2A rows (mean ‖
         log_std), TD3/DDPG A rows.
@@ -171,7 +176,7 @@ def collect_step_pallas(env_kind: str, mode: str, states_rows, seed, consts,
     preserved).
     """
     assert mode in _MODES, mode
-    d, adim, _, _ = ppr._ENVS[env_kind]
+    d, adim = ppr._ENVS[env_kind][:2]
     dd8, b8 = states_rows.shape
     assert dd8 == 8 * d and b8 % tile == 0, (dd8, d, b8, tile)
     out_dim = 2 * adim if mode.startswith("sac") else adim
@@ -182,7 +187,7 @@ def collect_step_pallas(env_kind: str, mode: str, states_rows, seed, consts,
 
     kernel = functools.partial(_kernel, env_kind, mode, cd)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b8 // tile,),
         in_specs=[
             pl.BlockSpec((8 * d, tile), lambda b, *_: (0, b)),
@@ -208,7 +213,7 @@ def collect_step_pallas(env_kind: str, mode: str, states_rows, seed, consts,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(seed, consts,
+    )(seed, consts, pvec.astype(jnp.float32),
       states_rows.astype(jnp.float32),
       w1.astype(jnp.float32), b1.astype(jnp.float32),
       w2.astype(jnp.float32), b2.astype(jnp.float32),

@@ -39,6 +39,11 @@ Design (see docs/scaling.md):
 * Normalisation semantics are ``collect_rollout``'s: raw-obs moment
   streams, VecNormalize-style discounted-return scale for rewards,
   clip(±10) on both.
+* The LIVE env ``Params`` ride in as an SMEM f32 vector (the
+  throughput-kernel mechanism, ops/pallas_rollout.flat_params_vec),
+  unpacked ONCE per grid step outside the time loop — param sweeps
+  keep the fused fast path; only wrapped/replaced step/reset FUNCTIONS
+  fall back to the scan (``kernel_mismatch``).
 
 The kernel's RNG stream differs from the scan path's (jax.random vs the
 on-core PRNG): rollouts are statistically equivalent, not bitwise.  The
@@ -63,6 +68,7 @@ except ImportError:  # pragma: no cover
     _PALLAS = False
 
 from . import pallas_tpuquad as ptq
+from .pallas_rollout import _Q2_FIELDS, _Q3_FIELDS, _read_params
 
 
 def available() -> bool:
@@ -72,12 +78,6 @@ def available() -> bool:
 _LOG2PI = 1.8378770664093453
 _HALF_PI = math.pi / 2
 _NTRAJ = 24  # trajectory comps per step: obs(D) act(A) logp value reward done pad
-
-# quadrotor3d-v0 constants (envs/quadrotor3d.py Params defaults).
-_Q3_DT = 0.01
-_Q3_G = -9.8
-_Q3_POS_LIM = 3.0
-_Q3_VEL_LIM = 10.0
 
 
 def _unif01(shape):
@@ -109,24 +109,25 @@ def _mm(a, b, dims, cd):
 # --- env steps on (8, t) component tiles, per-lane actions ----------------
 
 
-def _hover_step_tiles(comp, act):
+def _hover_step_tiles(comp, act, pv):
     """MujocoQuadForce-v1 step (frame_skip=2) with per-lane raw actions
     ``act`` = 4 tiles; returns (new_comp, raw_reward, done).  Mirrors
     envs/tpuquad.py hovering_step (clip for dynamics, RAW action in the
-    reward — the reference quirk)."""
+    reward — the reference quirk).  ``pv``: the live-Params constants
+    dict (:func:`pallas_tpuquad._hover_consts` over the SMEM vector)."""
     a0, a1, a2, a3 = act
-    one = jnp.float32(1.0)  # f32 bounds: x64 configs promote python
-    zero = jnp.float32(0.0)  # floats through f64, which Mosaic can't cast
-    c0 = jnp.clip(a0, zero, one)
-    c1 = jnp.clip(a1, zero, one)
-    c2 = jnp.clip(a2, zero, one)
-    c3 = jnp.clip(a3, zero, one)
+    hi = pv["ctrl_high"]      # traced f32 SMEM scalar (x64-safe bounds:
+    zero = jnp.float32(0.0)   # python floats would promote through f64)
+    c0 = jnp.clip(a0, zero, hi)
+    c1 = jnp.clip(a1, zero, hi)
+    c2 = jnp.clip(a2, zero, hi)
+    c3 = jnp.clip(a3, zero, hi)
     total = c0 + c1 + c2 + c3
-    mx = ptq._ARM * (c0 - c1 - c2 + c3)       # motor_y = (+,-,-,+)
-    my = -ptq._ARM * (c0 + c1 - c2 - c3)      # motor_x = (+,+,-,-)
-    mz = ptq._YAW_GEAR * (-c0 + c1 - c2 + c3)  # yaw sign = (-,+,-,+)
-    comp = ptq._rigid_substep(comp, ptq._GROUND, total, mx, my, mz, None, None, False)
-    comp = ptq._rigid_substep(comp, ptq._GROUND, total, mx, my, mz, None, None, False)
+    mx = pv["arm"] * (c0 - c1 - c2 + c3)        # motor_y = (+,-,-,+)
+    my = -pv["arm"] * (c0 + c1 - c2 - c3)       # motor_x = (+,+,-,-)
+    mz = pv["yaw_gear"] * (-c0 + c1 - c2 + c3)  # yaw sign = (-,+,-,+)
+    comp = ptq._rigid_substep(comp, pv, total, mx, my, mz, None, None, False)
+    comp = ptq._rigid_substep(comp, pv, total, mx, my, mz, None, None, False)
     px, py, pz = comp[0], comp[1], comp[2]
     a_sq = a0 * a0 + a1 * a1 + a2 * a2 + a3 * a3
     a_sum = a0 + a1 + a2 + a3
@@ -143,19 +144,27 @@ def _hover_step_tiles(comp, act):
     return comp, reward, done
 
 
-def _hover_reset_rows(shape, dtype):
+def _hover_reset_rows(shape, dtype, pv):
+    """Deterministic reset pose: z = Params.init_z (traced), qw = 1."""
+    row = (8,) + shape[1:]
+    zero = jnp.zeros(row, dtype)
     return jnp.concatenate(
-        [jnp.full((8,) + shape[1:], v, dtype) for v in ptq._INIT], axis=0
+        [zero, zero, jnp.full(row, pv["init_z"], dtype),
+         jnp.full(row, 1.0, dtype)] + [zero] * 9, axis=0
     )
 
 
-def _quad3d_step_tiles(comp, act):
+def _quad3d_step_tiles(comp, act, pv):
     """quadrotor3d-v0 step with per-lane actions [thrust, wx, wy, wz]
     (envs/quadrotor3d.py:step — Q3/Q4 semantics: pos-first Euler with the
     old velocity, quat derivative of the normalised quat added to the
-    raw stored quat)."""
+    raw stored quat).  ``pv``: live Params as SMEM scalars
+    (:data:`pallas_rollout._Q3_FIELDS` order); ``thrust / mass`` keeps
+    the scan path's op order (bitwise at mass = 1)."""
     px, py, pz, qw, qx, qy, qz, vx, vy, vz = comp
     thrust, wx, wy, wz = act
+    dt, g, m = pv["dt"], pv["gravity"], pv["mass"]
+    plim, vlim = pv["pos_limit"], pv["vel_limit"]
 
     qn2 = qw * qw + qx * qx + qy * qy + qz * qz
     inv_qn = jax.lax.rsqrt(qn2)
@@ -164,17 +173,18 @@ def _quad3d_step_tiles(comp, act):
     bzy = 2.0 * (qy * qz - qw * qx) * inv
     bzz = 1.0 - 2.0 * (qx * qx + qy * qy) * inv
 
-    accx = thrust * bzx
-    accy = thrust * bzy
-    accz = thrust * bzz + _Q3_G
+    tq = thrust / m
+    accx = tq * bzx
+    accy = tq * bzy
+    accz = tq * bzz + g
 
-    npx = px + vx * _Q3_DT + 0.5 * accx * _Q3_DT * _Q3_DT
-    npy = py + vy * _Q3_DT + 0.5 * accy * _Q3_DT * _Q3_DT
-    npz = pz + vz * _Q3_DT + 0.5 * accz * _Q3_DT * _Q3_DT
-    nvx, nvy, nvz = vx + accx * _Q3_DT, vy + accy * _Q3_DT, vz + accz * _Q3_DT
+    npx = px + vx * dt + 0.5 * accx * dt * dt
+    npy = py + vy * dt + 0.5 * accy * dt * dt
+    npz = pz + vz * dt + 0.5 * accz * dt * dt
+    nvx, nvy, nvz = vx + accx * dt, vy + accy * dt, vz + accz * dt
 
     hw, hx, hy, hz = qw * inv_qn, qx * inv_qn, qy * inv_qn, qz * inv_qn
-    half_dt = 0.5 * _Q3_DT
+    half_dt = 0.5 * dt
     nqw = qw + half_dt * (-hx * wx - hy * wy - hz * wz)
     nqx = qx + half_dt * (hw * wx + hy * wz - hz * wy)
     nqy = qy + half_dt * (hw * wy - hx * wz + hz * wx)
@@ -182,74 +192,68 @@ def _quad3d_step_tiles(comp, act):
 
     pn2 = npx * npx + npy * npy + npz * npz
     vn2 = nvx * nvx + nvy * nvy + nvz * nvz
-    done = (pn2 > _Q3_POS_LIM**2) | (vn2 > _Q3_VEL_LIM**2)
+    done = (pn2 > plim * plim) | (vn2 > vlim * vlim)
     reward = jnp.where(done, jnp.float32(1.0), -jnp.sqrt(pn2))
     new = [npx, npy, npz, nqw, nqx, nqy, nqz, nvx, nvy, nvz]
     return new, reward, done
 
 
-def _quad3d_reset_rows(shape, dtype):
+def _quad3d_reset_rows(shape, dtype, pv):
     return _uniform_pm1((80,) + shape[1:]).astype(dtype)
 
 
-# quadrotor2d-v0 constants (envs/quadrotor2d.py Params defaults).
-_Q2_DT = 0.01
-_Q2_G = -9.8
-_Q2_POS_LIM = 3.0
-_Q2_VEL_LIM = 2.0
-_Q2_THRUST = 10.0
-
-
-def _quad2d_step_tiles(comp, act):
+def _quad2d_step_tiles(comp, act, pv):
     """quadrotor2d-v0 step with per-lane actions [thrust_cmd, omega]
-    (envs/quadrotor2d.py:41-64 — Q5 10× thrust floored at zero, Q3
-    pos-first Euler with the old velocity, Q1/Q2 folded done
-    ``‖pos‖>3 ∨ ‖vel‖>2``, reward −‖pos‖ / +1 on done)."""
+    (envs/quadrotor2d.py:41-64 — Q5 ``thrust_scale``× thrust floored at
+    zero, Q3 pos-first Euler with the old velocity, Q1/Q2 folded done
+    ``‖pos‖>3 ∨ ‖vel‖>2``, reward −‖pos‖ / +1 on done).  ``pv``: live
+    Params (:data:`pallas_rollout._Q2_FIELDS` order)."""
     x, z, th, vx, vz = comp
     a0, a1 = act
-    thrust = jnp.maximum(_Q2_THRUST * a0, 0.0)
+    dt, g, m = pv["dt"], pv["gravity"], pv["mass"]
+    thrust = jnp.maximum(pv["thrust_scale"] * a0, 0.0)
+    tq = thrust / m
     hx = jnp.cos(th + _HALF_PI)
     hz = jnp.sin(th + _HALF_PI)
-    ax = thrust * hx
-    az = thrust * hz + _Q2_G
-    nx = x + vx * _Q2_DT + 0.5 * ax * _Q2_DT * _Q2_DT
-    nz = z + vz * _Q2_DT + 0.5 * az * _Q2_DT * _Q2_DT
-    nvx = vx + ax * _Q2_DT
-    nvz = vz + az * _Q2_DT
-    nth = th + a1 * _Q2_DT
+    ax = tq * hx
+    az = tq * hz + g
+    nx = x + vx * dt + 0.5 * ax * dt * dt
+    nz = z + vz * dt + 0.5 * az * dt * dt
+    nvx = vx + ax * dt
+    nvz = vz + az * dt
+    nth = th + a1 * dt
     pn = jnp.sqrt(nx * nx + nz * nz)
     vn = jnp.sqrt(nvx * nvx + nvz * nvz)
-    done = (pn > _Q2_POS_LIM) | (vn > _Q2_VEL_LIM)
+    done = (pn > pv["pos_limit"]) | (vn > pv["vel_limit"])
     reward = jnp.where(done, jnp.float32(1.0), -pn)
     return [nx, nz, nth, nvx, nvz], reward, done
 
 
-def _quad2d_reset_rows(shape, dtype):
+def _quad2d_reset_rows(shape, dtype, pv):
     return _uniform_pm1((40,) + shape[1:]).astype(dtype)
 
 
-# quadrotor2d-slungload-v0 constants (envs/quadrotor2d_slungload.py).
-_S2_DT = 0.01
-_S2_G = -9.8
-_S2_L = 0.5
-_S2_M = 1.0
-_S2_ML = 0.1
-_S2_POS_LIM = 2.0
-_S2_VEL_LIM = 10.0
-
-
-def _slung2d_step_tiles(comp, act):
+def _slung2d_step_tiles(comp, act, pv):
     """quadrotor2d-slungload-v0 step, per-lane actions [thrust_N, omega]
     (envs/quadrotor2d_slungload.py:51-106): taut/slack tether selected
     per lane, velocity-FIRST Euler (Q3), the reference's scalar
     broadcast-subtraction inside the taut load-acceleration projection,
-    kinematic re-projection of the load onto the tether circle."""
+    kinematic re-projection of the load onto the tether circle.
+    ``pv``: live Params (:data:`pallas_slungload._S2_FIELDS` order).
+    Mass divisions mirror the env's op order (``thrust * heading`` in the
+    load projection but ``thrust / m * heading`` and ``tension / m`` in
+    the quad acceleration) — bitwise at the m = 1 default."""
     x, z, th, vx, vz, lx, lz, lvx, lvz = comp
     thrust, w = act
+    dt, g, L = pv["dt"], pv["gravity"], pv["tether_length"]
+    m, ml = pv["mass"], pv["load_mass"]
     hx = jnp.cos(th + _HALF_PI)
     hz = jnp.sin(th + _HALF_PI)
-    tvx = thrust * hx                  # thrust_vec (mass = 1)
+    tvx = thrust * hx                  # thrust_vec (load projection)
     tvz = thrust * hz
+    tq = thrust / m                    # quad acceleration scale
+    tqx = tq * hx
+    tqz = tq * hz
 
     tx = lx - x
     tz = lz - z
@@ -257,27 +261,28 @@ def _slung2d_step_tiles(comp, act):
     inv = 1.0 / jnp.where(tn > 0.0, tn, jnp.float32(1.0))
     ux = tx * inv
     uz = tz * inv
-    taut = tn >= _S2_L
+    taut = tn >= L
 
     # --- taut branch ------------------------------------------------------
     # la = ⟨u, thrust_vec − m·L·⟨lv,lv⟩⟩·u / (m+mₗ) + g  (the scalar is
     # broadcast-subtracted from the vector, exactly as the reference).
-    s = _S2_M * _S2_L * (lvx * lvx + lvz * lvz)
+    s = m * L * (lvx * lvx + lvz * lvz)
+    inv_mml = 1.0 / (m + ml)
     proj = ux * (tvx - s) + uz * (tvz - s)
-    lax_t = (1.0 / (_S2_M + _S2_ML)) * (proj * ux)
-    laz_t = (1.0 / (_S2_M + _S2_ML)) * (proj * uz) + _S2_G
-    lvx_t = lvx + lax_t * _S2_DT       # velocity FIRST (Q3)
-    lvz_t = lvz + laz_t * _S2_DT
-    lpx_t = lx + lvx_t * _S2_DT + 0.5 * lax_t * _S2_DT * _S2_DT
-    lpz_t = lz + lvz_t * _S2_DT + 0.5 * laz_t * _S2_DT * _S2_DT
+    lax_t = inv_mml * (proj * ux)
+    laz_t = inv_mml * (proj * uz) + g
+    lvx_t = lvx + lax_t * dt           # velocity FIRST (Q3)
+    lvz_t = lvz + laz_t * dt
+    lpx_t = lx + lvx_t * dt + 0.5 * lax_t * dt * dt
+    lpz_t = lz + lvz_t * dt + 0.5 * laz_t * dt * dt
 
-    tmag = _S2_ML * jnp.sqrt(lax_t * lax_t + (laz_t - _S2_G) ** 2)
-    accx_t = tvx + tmag * ux           # thrust/m·ĥ + g + T/m, m = 1
-    accz_t = tvz + _S2_G + tmag * uz
-    vx_t = vx + accx_t * _S2_DT        # velocity FIRST
-    vz_t = vz + accz_t * _S2_DT
-    px_t = x + vx_t * _S2_DT + 0.5 * accx_t * _S2_DT * _S2_DT
-    pz_t = z + vz_t * _S2_DT + 0.5 * accz_t * _S2_DT * _S2_DT
+    tmag = ml * jnp.sqrt(lax_t * lax_t + (laz_t - g) ** 2)
+    accx_t = tqx + (tmag * ux) / m     # thrust/m·ĥ + g + T/m
+    accz_t = tqz + g + (tmag * uz) / m
+    vx_t = vx + accx_t * dt            # velocity FIRST
+    vz_t = vz + accz_t * dt
+    px_t = x + vx_t * dt + 0.5 * accx_t * dt * dt
+    pz_t = z + vz_t * dt + 0.5 * accz_t * dt * dt
 
     dx = lpx_t - px_t
     dz = lpz_t - pz_t
@@ -285,23 +290,23 @@ def _slung2d_step_tiles(comp, act):
     dinv = 1.0 / jnp.where(dn > 0.0, dn, jnp.float32(1.0))
     ddx = dx * dinv
     ddz = dz * dinv
-    lpx_t = px_t + ddx * _S2_L
-    lpz_t = pz_t + ddz * _S2_L
+    lpx_t = px_t + ddx * L
+    lpz_t = pz_t + ddz * L
     rad = (lvx_t - vx_t) * ddx + (lvz_t - vz_t) * ddz
     lvx_t = lvx_t - rad * ddx
     lvz_t = lvz_t - rad * ddz
 
     # --- slack branch -----------------------------------------------------
     lvx_s = lvx
-    lvz_s = lvz + _S2_G * _S2_DT
-    lpx_s = lx + lvx_s * _S2_DT
-    lpz_s = lz + lvz_s * _S2_DT + 0.5 * _S2_G * _S2_DT * _S2_DT
-    accx_s = tvx
-    accz_s = tvz + _S2_G
-    vx_s = vx + accx_s * _S2_DT
-    vz_s = vz + accz_s * _S2_DT
-    px_s = x + vx_s * _S2_DT + 0.5 * accx_s * _S2_DT * _S2_DT
-    pz_s = z + vz_s * _S2_DT + 0.5 * accz_s * _S2_DT * _S2_DT
+    lvz_s = lvz + g * dt
+    lpx_s = lx + lvx_s * dt
+    lpz_s = lz + lvz_s * dt + 0.5 * g * dt * dt
+    accx_s = tqx
+    accz_s = tqz + g
+    vx_s = vx + accx_s * dt
+    vz_s = vz + accz_s * dt
+    px_s = x + vx_s * dt + 0.5 * accx_s * dt * dt
+    pz_s = z + vz_s * dt + 0.5 * accz_s * dt * dt
 
     npx = jnp.where(taut, px_t, px_s)
     npz = jnp.where(taut, pz_t, pz_s)
@@ -311,39 +316,33 @@ def _slung2d_step_tiles(comp, act):
     nlpz = jnp.where(taut, lpz_t, lpz_s)
     nlvx = jnp.where(taut, lvx_t, lvx_s)
     nlvz = jnp.where(taut, lvz_t, lvz_s)
-    nth = th + w * _S2_DT
+    nth = th + w * dt
 
     lpn = jnp.sqrt(nlpx * nlpx + nlpz * nlpz)
     lvn = jnp.sqrt(nlvx * nlvx + nlvz * nlvz)
-    done = (lpn > _S2_POS_LIM) | (lvn > _S2_VEL_LIM)
+    done = (lpn > pv["pos_limit"]) | (lvn > pv["vel_limit"])
     reward = jnp.where(done, jnp.float32(1.0),
                        -jnp.sqrt(npx * npx + npz * npz))
     return [npx, npz, nth, nvx, nvz, nlpx, nlpz, nlvx, nlvz], reward, done
 
 
-def _slung2d_reset_rows(shape, dtype):
+def _slung2d_reset_rows(shape, dtype, pv):
     return _uniform_pm1((72,) + shape[1:]).astype(dtype)
 
 
-# quadrotor3d-slungload-v0 constants (envs/quadrotor3d_slungload.py).
-_S3_DT = 0.01
-_S3_G = -9.8
-_S3_L = 1.5
-_S3_M = 1.0
-_S3_ML = 0.1
-_S3_POS_LIM = 3.0
-_S3_VEL_LIM = 10.0
-
-
-def _slung3d_step_tiles(comp, act):
+def _slung3d_step_tiles(comp, act, pv):
     """quadrotor3d-slungload-v0 step, per-lane actions
     [thrust, wx, wy, wz] (envs/quadrotor3d_slungload.py:47-104):
     POSITION-first Euler with the old velocity (Q3 — opposite of the 2D
     sibling), Q4 quaternion semantics shared with quadrotor3d (normalise
-    for rotation/derivative, store raw), per-lane taut/slack branch."""
+    for rotation/derivative, store raw), per-lane taut/slack branch.
+    ``pv``: live Params (:data:`pallas_slungload._S3_FIELDS` order);
+    mass divisions mirror the env's op order (see _slung2d_step_tiles)."""
     (px, py, pz, qw, qx, qy, qz, vx, vy, vz,
      lpx, lpy, lpz, lvx, lvy, lvz) = comp
     thrust, wx, wy, wz = act
+    dt, g, L = pv["dt"], pv["gravity"], pv["tether_length"]
+    m, ml = pv["mass"], pv["load_mass"]
 
     qn2 = qw * qw + qx * qx + qy * qy + qz * qz
     inv_qn = jax.lax.rsqrt(qn2)
@@ -351,9 +350,13 @@ def _slung3d_step_tiles(comp, act):
     bzx = 2.0 * (qx * qz + qw * qy) * inv
     bzy = 2.0 * (qy * qz - qw * qx) * inv
     bzz = 1.0 - 2.0 * (qx * qx + qy * qy) * inv
-    tvx = thrust * bzx
+    tvx = thrust * bzx                 # thrust_vec (load projection)
     tvy = thrust * bzy
     tvz = thrust * bzz
+    tq = thrust / m                    # quad acceleration scale
+    tqx = tq * bzx
+    tqy = tq * bzy
+    tqz = tq * bzz
 
     tx = lpx - px
     ty = lpy - py
@@ -363,33 +366,34 @@ def _slung3d_step_tiles(comp, act):
     ux = tx * tinv
     uy = ty * tinv
     uz = tz * tinv
-    taut = tn >= _S3_L
+    taut = tn >= L
 
     # --- taut branch (pos-first Euler) ------------------------------------
-    s = _S3_M * _S3_L * (lvx * lvx + lvy * lvy + lvz * lvz)
+    s = m * L * (lvx * lvx + lvy * lvy + lvz * lvz)
+    inv_mml = 1.0 / (m + ml)
     proj = ux * (tvx - s) + uy * (tvy - s) + uz * (tvz - s)
-    lax_t = (1.0 / (_S3_M + _S3_ML)) * (proj * ux)
-    lay_t = (1.0 / (_S3_M + _S3_ML)) * (proj * uy)
-    laz_t = (1.0 / (_S3_M + _S3_ML)) * (proj * uz) + _S3_G
-    lpx_t = lpx + lvx * _S3_DT + 0.5 * lax_t * _S3_DT * _S3_DT  # old vel
-    lpy_t = lpy + lvy * _S3_DT + 0.5 * lay_t * _S3_DT * _S3_DT
-    lpz_t = lpz + lvz * _S3_DT + 0.5 * laz_t * _S3_DT * _S3_DT
-    lvx_t = lvx + lax_t * _S3_DT
-    lvy_t = lvy + lay_t * _S3_DT
-    lvz_t = lvz + laz_t * _S3_DT
+    lax_t = inv_mml * (proj * ux)
+    lay_t = inv_mml * (proj * uy)
+    laz_t = inv_mml * (proj * uz) + g
+    lpx_t = lpx + lvx * dt + 0.5 * lax_t * dt * dt  # old vel
+    lpy_t = lpy + lvy * dt + 0.5 * lay_t * dt * dt
+    lpz_t = lpz + lvz * dt + 0.5 * laz_t * dt * dt
+    lvx_t = lvx + lax_t * dt
+    lvy_t = lvy + lay_t * dt
+    lvz_t = lvz + laz_t * dt
 
-    tmag = _S3_ML * jnp.sqrt(
-        lax_t * lax_t + lay_t * lay_t + (laz_t - _S3_G) ** 2
+    tmag = ml * jnp.sqrt(
+        lax_t * lax_t + lay_t * lay_t + (laz_t - g) ** 2
     )
-    accx_t = tvx + tmag * ux           # m = 1
-    accy_t = tvy + tmag * uy
-    accz_t = tvz + _S3_G + tmag * uz
-    px_t = px + vx * _S3_DT + 0.5 * accx_t * _S3_DT * _S3_DT     # old vel
-    py_t = py + vy * _S3_DT + 0.5 * accy_t * _S3_DT * _S3_DT
-    pz_t = pz + vz * _S3_DT + 0.5 * accz_t * _S3_DT * _S3_DT
-    vx_t = vx + accx_t * _S3_DT
-    vy_t = vy + accy_t * _S3_DT
-    vz_t = vz + accz_t * _S3_DT
+    accx_t = tqx + (tmag * ux) / m
+    accy_t = tqy + (tmag * uy) / m
+    accz_t = tqz + g + (tmag * uz) / m
+    px_t = px + vx * dt + 0.5 * accx_t * dt * dt     # old vel
+    py_t = py + vy * dt + 0.5 * accy_t * dt * dt
+    pz_t = pz + vz * dt + 0.5 * accz_t * dt * dt
+    vx_t = vx + accx_t * dt
+    vy_t = vy + accy_t * dt
+    vz_t = vz + accz_t * dt
 
     dx = lpx_t - px_t
     dy = lpy_t - py_t
@@ -399,30 +403,30 @@ def _slung3d_step_tiles(comp, act):
     ddx = dx * dinv
     ddy = dy * dinv
     ddz = dz * dinv
-    lpx_t = px_t + ddx * _S3_L
-    lpy_t = py_t + ddy * _S3_L
-    lpz_t = pz_t + ddz * _S3_L
+    lpx_t = px_t + ddx * L
+    lpy_t = py_t + ddy * L
+    lpz_t = pz_t + ddz * L
     rad = (lvx_t - vx_t) * ddx + (lvy_t - vy_t) * ddy + (lvz_t - vz_t) * ddz
     lvx_t = lvx_t - rad * ddx
     lvy_t = lvy_t - rad * ddy
     lvz_t = lvz_t - rad * ddz
 
     # --- slack branch -----------------------------------------------------
-    lpx_s = lpx + lvx * _S3_DT
-    lpy_s = lpy + lvy * _S3_DT
-    lpz_s = lpz + lvz * _S3_DT + 0.5 * _S3_G * _S3_DT * _S3_DT
+    lpx_s = lpx + lvx * dt
+    lpy_s = lpy + lvy * dt
+    lpz_s = lpz + lvz * dt + 0.5 * g * dt * dt
     lvx_s = lvx
     lvy_s = lvy
-    lvz_s = lvz + _S3_G * _S3_DT
-    accx_s = tvx
-    accy_s = tvy
-    accz_s = tvz + _S3_G
-    px_s = px + vx * _S3_DT + 0.5 * accx_s * _S3_DT * _S3_DT
-    py_s = py + vy * _S3_DT + 0.5 * accy_s * _S3_DT * _S3_DT
-    pz_s = pz + vz * _S3_DT + 0.5 * accz_s * _S3_DT * _S3_DT
-    vx_s = vx + accx_s * _S3_DT
-    vy_s = vy + accy_s * _S3_DT
-    vz_s = vz + accz_s * _S3_DT
+    lvz_s = lvz + g * dt
+    accx_s = tqx
+    accy_s = tqy
+    accz_s = tqz + g
+    px_s = px + vx * dt + 0.5 * accx_s * dt * dt
+    py_s = py + vy * dt + 0.5 * accy_s * dt * dt
+    pz_s = pz + vz * dt + 0.5 * accz_s * dt * dt
+    vx_s = vx + accx_s * dt
+    vy_s = vy + accy_s * dt
+    vz_s = vz + accz_s * dt
 
     npx = jnp.where(taut, px_t, px_s)
     npy = jnp.where(taut, py_t, py_s)
@@ -439,7 +443,7 @@ def _slung3d_step_tiles(comp, act):
 
     # Shared quaternion update (Q4: derivative of q̂ added to raw q).
     hw, hx, hy, hz = qw * inv_qn, qx * inv_qn, qy * inv_qn, qz * inv_qn
-    half_dt = 0.5 * _S3_DT
+    half_dt = 0.5 * dt
     nqw = qw + half_dt * (-hx * wx - hy * wy - hz * wz)
     nqx = qx + half_dt * (hw * wx + hy * wz - hz * wy)
     nqy = qy + half_dt * (hw * wy - hx * wz + hz * wx)
@@ -447,29 +451,107 @@ def _slung3d_step_tiles(comp, act):
 
     lpn = jnp.sqrt(nlpx * nlpx + nlpy * nlpy + nlpz * nlpz)
     vn = jnp.sqrt(nvx * nvx + nvy * nvy + nvz * nvz)
-    done = (lpn > _S3_POS_LIM) | (vn > _S3_VEL_LIM)
+    done = (lpn > pv["pos_limit"]) | (vn > pv["vel_limit"])
     reward = jnp.where(done, jnp.float32(1.0), -lpn)
     new = [npx, npy, npz, nqw, nqx, nqy, nqz, nvx, nvy, nvz,
            nlpx, nlpy, nlpz, nlvx, nlvy, nlvz]
     return new, reward, done
 
 
-def _slung3d_reset_rows(shape, dtype):
+def _slung3d_reset_rows(shape, dtype, pv):
     return _uniform_pm1((128,) + shape[1:]).astype(dtype)
 
 
-#: env id -> (state_dim, action_dim, step_tiles, reset_rows).
+def _q3_read(p_ref):
+    return _read_params(_Q3_FIELDS, p_ref)
+
+
+def _q2_read(p_ref):
+    return _read_params(_Q2_FIELDS, p_ref)
+
+
+def _s2_read(p_ref):
+    from .pallas_slungload import _S2_FIELDS
+
+    return _read_params(_S2_FIELDS, p_ref)
+
+
+def _s3_read(p_ref):
+    from .pallas_slungload import _S3_FIELDS
+
+    return _read_params(_S3_FIELDS, p_ref)
+
+
+def _q3_pack(p):
+    from .pallas_rollout import quad3d_params_vec
+
+    return quad3d_params_vec(p)
+
+
+def _q2_pack(p):
+    from .pallas_rollout import quad2d_params_vec
+
+    return quad2d_params_vec(p)
+
+
+def _s2_pack(p):
+    from .pallas_slungload import slung2d_params_vec
+
+    return slung2d_params_vec(p)
+
+
+def _s3_pack(p):
+    from .pallas_slungload import slung3d_params_vec
+
+    return slung3d_params_vec(p)
+
+
+#: env id -> (state_dim, action_dim, step_tiles, reset_rows,
+#:            pack: Params -> SMEM f32 vector, read: p_ref -> pv dict).
+#: pack/read pairs are the THROUGHPUT kernels' (pallas_rollout /
+#: pallas_slungload / pallas_tpuquad) — one field table per env.
 _ENVS = {
-    "MujocoQuadForce-v1": (13, 4, _hover_step_tiles, _hover_reset_rows),
-    "quadrotor3d-v0": (10, 4, _quad3d_step_tiles, _quad3d_reset_rows),
-    "quadrotor2d-v0": (5, 2, _quad2d_step_tiles, _quad2d_reset_rows),
-    "quadrotor2d-slungload-v0": (9, 2, _slung2d_step_tiles, _slung2d_reset_rows),
-    "quadrotor3d-slungload-v0": (16, 4, _slung3d_step_tiles, _slung3d_reset_rows),
+    "MujocoQuadForce-v1": (13, 4, _hover_step_tiles, _hover_reset_rows,
+                           ptq.hover_params_vec, ptq._hover_consts),
+    "quadrotor3d-v0": (10, 4, _quad3d_step_tiles, _quad3d_reset_rows,
+                       _q3_pack, _q3_read),
+    "quadrotor2d-v0": (5, 2, _quad2d_step_tiles, _quad2d_reset_rows,
+                       _q2_pack, _q2_read),
+    "quadrotor2d-slungload-v0": (9, 2, _slung2d_step_tiles,
+                                 _slung2d_reset_rows, _s2_pack, _s2_read),
+    "quadrotor3d-slungload-v0": (16, 4, _slung3d_step_tiles,
+                                 _slung3d_reset_rows, _s3_pack, _s3_read),
 }
 
 
+def env_params_vec(env) -> jnp.ndarray:
+    """``env``'s LIVE Params -> the kernel's SMEM f32 vector."""
+    _, _, _, _, pack, _ = _ENVS[env.name]
+    return pack(env.params)
+
+
+def kernel_mismatch(env):
+    """Why the policy-driven kernels (fused PPO rollout / off-policy
+    collection) would NOT reproduce ``env``'s semantics (None =
+    eligible): the shared registry identity check with live packed
+    params, plus the structural params the SMEM vector cannot carry
+    (hover's ``frame_skip`` unroll count)."""
+    from ..envs.core import fused_kernel_mismatch
+
+    if env.name not in _ENVS:
+        return f"no policy-driven kernel for {env.name}"
+    reason = fused_kernel_mismatch(env, require_control=False,
+                                   packed_params=True)
+    if reason is not None:
+        return reason
+    if (env.name == "MujocoQuadForce-v1"
+            and getattr(env.params, "frame_skip", 2) != 2):
+        return "frame_skip != 2 (the kernel unrolls two substeps)"
+    return None
+
+
 def _kernel(env_kind, t_chunk, cd, normalize_obs, normalize_rewards,
-            seed_ref, consts_ref,
+            seed_ref, consts_ref, pvec_ref,
             s_in_ref, ret_in_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             wo_ref, bo_ref,
             traj_ref, fin_ref, rets_ref, stats_ref,
@@ -478,9 +560,12 @@ def _kernel(env_kind, t_chunk, cd, normalize_obs, normalize_rewards,
     policy+env steps.
 
     consts layout (f32): [obs_mean(D), obs_invstd(D), exp_log_std(A),
-    log_std_sum, inv_ret_std, gamma].
+    log_std_sum, inv_ret_std, gamma].  ``pvec_ref``: the live env
+    Params SMEM vector (per-env pack — see _ENVS), unpacked ONCE here,
+    outside the time loop.
     """
-    d, adim, step_tiles, reset_rows = _ENVS[env_kind]
+    d, adim, step_tiles, reset_rows, _, read_pv = _ENVS[env_kind]
+    pv = read_pv(pvec_ref)
     b = pl.program_id(0)
     tc = pl.program_id(1)
     n_tc = pl.num_programs(1)
@@ -555,7 +640,7 @@ def _kernel(env_kind, t_chunk, cd, normalize_obs, normalize_rewards,
         logp8 = logp_flat.reshape(8, tile)
         value8 = value_flat.reshape(8, tile)
 
-        comp, raw_reward, done = step_tiles(comp, act_comps)
+        comp, raw_reward, done = step_tiles(comp, act_comps, pv)
         done_f = done.astype(jnp.float32)
 
         # VecNormalize-style reward scale (collect_rollout:225-234).
@@ -575,7 +660,7 @@ def _kernel(env_kind, t_chunk, cd, normalize_obs, normalize_rewards,
 
         # Auto-reset done lanes.
         stacked = jnp.concatenate(comp, axis=0)
-        draw = reset_rows(stacked.shape, stacked.dtype)
+        draw = reset_rows(stacked.shape, stacked.dtype, pv)
         stacked = jnp.where(jnp.tile(done, (d, 1)), draw, stacked)
 
         # Trajectory block rows for this step: obs(D) act(A) logp value
@@ -613,7 +698,7 @@ def _kernel(env_kind, t_chunk, cd, normalize_obs, normalize_rewards,
                      "compute_dtype", "normalize_obs", "normalize_rewards"),
 )
 def ppo_rollout_pallas(env_kind: str, states_t, env_returns, seed,
-                       w1, b1, w2, b2, wo, bo, consts,
+                       w1, b1, w2, b2, wo, bo, consts, pvec,
                        horizon: int, tile: int = 128, t_chunk: int = 8,
                        compute_dtype: str = "float32",
                        normalize_obs: bool = True,
@@ -627,6 +712,8 @@ def ppo_rollout_pallas(env_kind: str, states_t, env_returns, seed,
       w1..bo: fused MLP stacks (networks.fused_weights), 2H == 128.
       consts: f32 vector [obs_mean(D), obs_invstd(D), exp(log_std)(A),
         Σlog_std, 1/sqrt(ret_var+eps), gamma].
+      pvec: the env's LIVE Params as the per-env SMEM f32 vector
+        (:func:`env_params_vec`) — param sweeps keep this fast path.
       horizon: T (divisible by t_chunk).
 
     Returns (traj_rows, final_rows, env_returns, stats):
@@ -637,7 +724,7 @@ def ppo_rollout_pallas(env_kind: str, states_t, env_returns, seed,
         sublanes+lanes on the host): obs_sum(D), obs_sq(D), ret_sum,
         ret_sq, raw_reward_sum.
     """
-    d, _, _, _ = _ENVS[env_kind]
+    d = _ENVS[env_kind][0]
     dd, batch = states_t.shape
     assert dd == d and batch % (8 * tile) == 0, (dd, d, batch, tile)
     assert horizon % t_chunk == 0, (horizon, t_chunk)
@@ -654,7 +741,7 @@ def ppo_rollout_pallas(env_kind: str, states_t, env_returns, seed,
         _kernel, env_kind, t_chunk, cd, normalize_obs, normalize_rewards
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
             pl.BlockSpec((8 * d, tile), lambda b, tc, *_: (0, b)),
@@ -690,5 +777,6 @@ def ppo_rollout_pallas(env_kind: str, states_t, env_returns, seed,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(seed, consts, s_rows, ret_rows, w1, b1, w2, b2, wo, bo)
+    )(seed, consts, pvec.astype(jnp.float32),
+      s_rows, ret_rows, w1, b1, w2, b2, wo, bo)
     return traj, fin, rets, stats

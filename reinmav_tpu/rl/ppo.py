@@ -410,8 +410,9 @@ def _shuffle_indices(k_perm, n: int):
 
 def _fused_rollout_enabled(cfg: PpoConfig, env: EnvDef, batch: int) -> bool:
     """Static dispatch for the fused policy+env rollout kernel.  Strict
-    like the throughput_rollout dispatch (envs/core.py): the kernel bakes
-    in default physics, so wrapped/re-parameterised envs are refused."""
+    like the throughput_rollout dispatch (envs/core.py) on step/reset
+    FUNCTION identity; the live Params ride in through the kernel's SMEM
+    vector, so param sweeps keep this fast path."""
     if cfg.fused_rollout == "off":
         return False
     if tuple(cfg.hidden) != (64, 64):
@@ -421,17 +422,12 @@ def _fused_rollout_enabled(cfg: PpoConfig, env: EnvDef, batch: int) -> bool:
     if not pallas_ppo_rollout.available():
         return False
     # Env eligibility via the SHARED kernel registry (envs/core.py):
-    # step/reset identity + default params, controller identity skipped
-    # (the fused rollout replaces the controller with the policy).  The
-    # reward-free ids (Force-v0/Quat-v0, reinmav-v0) have throughput
-    # kernels but no training workload — not covered here.
-    if env.name not in ("MujocoQuadForce-v1", "quadrotor3d-v0",
-                        "quadrotor2d-v0", "quadrotor2d-slungload-v0",
-                        "quadrotor3d-slungload-v0"):
-        return False
-    from ..envs.core import fused_kernel_mismatch
-
-    if fused_kernel_mismatch(env, require_control=False) is not None:
+    # step/reset identity with packed live params, controller identity
+    # skipped (the fused rollout replaces the controller with the
+    # policy).  The reward-free ids (Force-v0/Quat-v0, reinmav-v0) have
+    # throughput kernels but no training workload — not covered here
+    # (kernel_mismatch refuses them by name).
+    if pallas_ppo_rollout.kernel_mismatch(env) is not None:
         return False
     if batch % 8 != 0 or cfg.rollout_len % 2 != 0:
         return False
@@ -478,7 +474,8 @@ def _collect_rollout_pallas(env: EnvDef, cfg: PpoConfig, params, obs_norm,
         w1.astype(dtype), b1.reshape(1, -1).astype(dtype),
         w2.astype(dtype), b2.reshape(1, -1).astype(dtype),
         wo.astype(dtype), bo.reshape(1, -1).astype(dtype),
-        consts, cfg.rollout_len, tile=_rollout_tile(batch), t_chunk=t_chunk,
+        consts, pr.env_params_vec(env),
+        cfg.rollout_len, tile=_rollout_tile(batch), t_chunk=t_chunk,
         compute_dtype=cfg.compute_dtype,
         normalize_obs=cfg.normalize_obs,
         normalize_rewards=cfg.normalize_rewards,

@@ -490,11 +490,12 @@ def _fused_collect_enabled(cfg, env: EnvDef, b_local: int) -> bool:
 
     if not pop.available() or not pop.supported(env):
         return False
-    from ..envs.core import fused_kernel_mismatch
+    from ..ops import pallas_ppo_rollout as ppr
 
-    # The kernel bakes in the registry step/reset fns and default params
-    # (the classical controller is irrelevant here — the policy acts).
-    if fused_kernel_mismatch(env, require_control=False) is not None:
+    # The kernel bakes in the registry step/reset FNS; the live Params
+    # ride in through the SMEM vector (the classical controller is
+    # irrelevant here — the policy acts).
+    if ppr.kernel_mismatch(env) is not None:
         return False
     if cfg.fused_collect == "on":
         return True
@@ -627,9 +628,12 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
 
             seed = jax.random.randint(k_act, (1,), 0, 2**31 - 1, jnp.int32)
             consts = _collect_consts(env, warm, 0.0)
+            from ..ops import pallas_ppo_rollout as ppr
+
             new_rows, block_rows = pop.collect_step_pallas(
                 env.name, "sac",
                 states_t.reshape(8 * d, b_local // 8), seed, consts,
+                ppr.env_params_vec(env),
                 *pop.actor_kernel_args(s.actor),
                 tile=_collect_tile(b_local), compute_dtype=cfg.compute_dtype)
             block = block_rows.reshape(2 * d + a + 2, b_local)

@@ -240,9 +240,12 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
 
             seed = jax.random.randint(k_noise, (1,), 0, 2**31 - 1, jnp.int32)
             consts = _collect_consts(env, warm, cfg.explore_noise)
+            from ..ops import pallas_ppo_rollout as ppr
+
             new_rows, block_rows = pop.collect_step_pallas(
                 env.name, "td3",
                 states_t.reshape(8 * d, b_local // 8), seed, consts,
+                ppr.env_params_vec(env),
                 *pop.actor_kernel_args(s.actor),
                 tile=_collect_tile(b_local), compute_dtype=cfg.compute_dtype)
             block = block_rows.reshape(2 * d + a + 2, b_local)

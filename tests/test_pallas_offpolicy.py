@@ -66,6 +66,7 @@ def _run_kernel(env, actor, states, mode, warm=0.0, noise=0.0):
         new_rows, block_rows = pallas_offpolicy.collect_step_pallas(
             env.name, mode, states.T.reshape(8 * d, b // 8),
             jnp.asarray([7], jnp.int32), consts,
+            pallas_ppo_rollout.env_params_vec(env),
             *pallas_offpolicy.actor_kernel_args(actor),
             tile=sac._collect_tile(b))
     r = 2 * d + env.action_dim + 2
