@@ -158,12 +158,15 @@ def main():
             existing = json.load(f)
     except (OSError, ValueError):
         existing = {}
-    old_rows = {(r["env"], r.get("note", "")): r
-                for r in existing.get("sweeps", [])}
-    for r in results["sweeps"]:
-        old_rows[(r["env"], r.get("note", ""))] = r
+    # A re-measured env INVALIDATES all of its old rows (an env whose
+    # physics changed gets fresh numbers; keying on (env, note) used to
+    # let superseded rows survive next to their replacements — the r4
+    # stale Force-v0/Quat-v0 horizon-500 rows).  reinmav-v0's two rows
+    # (default + large batch) are both produced by the same run.
+    measured = {r["env"] for r in results["sweeps"]}
+    kept = [r for r in existing.get("sweeps", []) if r["env"] not in measured]
     existing["device"] = results["device"]
-    existing["sweeps"] = list(old_rows.values())
+    existing["sweeps"] = kept + results["sweeps"]
     with open(out, "w") as f:
         json.dump(existing, f, indent=1)
     print(f"# wrote {out}", file=sys.stderr)

@@ -419,13 +419,19 @@ def fused_kernel_mismatch(env: EnvDef, require_control: bool = True,
     ops, step_fn, control_fn, reset_fn, default_params, pack = entry
     # tpuquad's deterministic resets: a non-default init_z is a fresh
     # _deterministic_reset closure (envs/tpuquad.py), not the registry
-    # object — accept it iff its baked init_z matches the env's Params
-    # (the parameterised kernels reset to the SMEM init_z).
-    reset_ok = env.reset_fn is reset_fn or (
-        getattr(reset_fn, "det_reset_init_z", None) is not None
-        and getattr(env.reset_fn, "det_reset_init_z", None)
-        == float(getattr(env.params, "init_z", float("nan")))
-    )
+    # object — accept a reset fn iff its baked init_z matches the env's
+    # Params (the parameterised kernels reset to the SMEM init_z).  The
+    # identity branch must apply the SAME tag check: an env keeping the
+    # registry reset fn but carrying replaced Params(init_z=...) would
+    # otherwise reset differently in kernel (SMEM init_z) vs scan (the
+    # closure's baked value).
+    if getattr(reset_fn, "det_reset_init_z", None) is not None:
+        reset_ok = (
+            getattr(env.reset_fn, "det_reset_init_z", None)
+            == float(getattr(env.params, "init_z", float("nan")))
+        )
+    else:
+        reset_ok = env.reset_fn is reset_fn
     fns_ok = env.step_fn is step_fn and reset_ok
     if require_control and control_fn is not None:
         fns_ok = fns_ok and env.control_fn is control_fn

@@ -224,7 +224,10 @@ def _quad2d_step_tiles(comp, act, pv):
     nth = th + a1 * dt
     pn = jnp.sqrt(nx * nx + nz * nz)
     vn = jnp.sqrt(nvx * nvx + nvz * nvz)
-    done = (pn > pv["pos_limit"]) | (vn > pv["vel_limit"])
+    # envs/quadrotor2d.py:62 done — the hardcoded ‖vel‖>10 clause (the
+    # reference's folded Q1/Q2 predicate) must survive vel_limit sweeps.
+    done = (pn > pv["pos_limit"]) | (vn > jnp.float32(10.0)) | (
+        vn > pv["vel_limit"])
     reward = jnp.where(done, jnp.float32(1.0), -pn)
     return [nx, nz, nth, nvx, nvz], reward, done
 

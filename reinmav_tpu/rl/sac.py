@@ -599,7 +599,10 @@ def train_iters(env: EnvDef, cfg: SacConfig, state: SacState,
     # Local (per-device under shard_map) env batch, from the ARRAY shape.
     b_local = state.env_states.shape[0]
     dense8 = b_local % 8 == 0
-    fused_col = _fused_collect_enabled(cfg, env, b_local) and axis_name is None
+    # The fused collection kernel composes with shard_map the same way
+    # the fused PPO rollout does: each device runs collect_step_pallas
+    # on its local shard (seed already device-decorrelated via k_act).
+    fused_col = _fused_collect_enabled(cfg, env, b_local)
     tile, auto_tile = resolve_sample_tile(cfg, b_local)
     if tile > 1 and (cfg.batch_size % tile or b_local % tile):
         raise ValueError(

@@ -213,7 +213,9 @@ def train_iters(env: EnvDef, cfg: Td3Config, state: Td3State,
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     b_local = state.env_states.shape[0]
     dense8 = b_local % 8 == 0
-    fused_col = _fused_collect_enabled(cfg, env, b_local) and axis_name is None
+    # Composes with shard_map exactly as in sac.train_iters: per-device
+    # kernel launch on the local shard, device-decorrelated seed.
+    fused_col = _fused_collect_enabled(cfg, env, b_local)
     tile, auto_tile = resolve_sample_tile(cfg, b_local)
     if tile > 1 and (cfg.batch_size % tile or b_local % tile):
         raise ValueError(

@@ -108,6 +108,9 @@ def main():
         # per-device replay rings fed by each process's env shard (local
         # batch 8 -> the dense8 collection view), critic/actor/alpha
         # gradient pmeans crossing the process boundary.
+        from jax.experimental.pallas import tpu as pltpu
+
+        from reinmav_tpu.ops import pallas_offpolicy as pop
         from reinmav_tpu.rl import sac
 
         scfg = sac.SacConfig(num_envs=32, buffer_capacity=2048,
@@ -120,6 +123,34 @@ def main():
         assert int(jax.device_get(sstate.total_steps)) == 32 * 8
         _write_tree_digest(sstate.actor, smet["q_loss"], outdir, pid,
                            suffix="_sac")
+
+        # Fused collection kernel ACROSS the 2-process mesh (r4 verdict
+        # #2): trace+lower the fused_collect="on" program on the
+        # cross-process mesh with a counter proving the kernel is in the
+        # traced program.  EXECUTING interpret-mode pallas across
+        # processes deadlocks the callback interpreter (observed
+        # 2026-08-20; single-process 8-device execution is pinned by
+        # tests/test_sac.py::test_shardmap_fused_collection_kernel, and
+        # real TPUs run the Mosaic-compiled kernel, no callbacks).
+        fcfg = sac.SacConfig(num_envs=32, buffer_capacity=2048,
+                             batch_size=16, warmup_steps=64, hidden=(8, 8),
+                             fused_collect="on")
+        calls = {"n": 0}
+        real = pop.collect_step_pallas
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        fstate = make_sac(jax.random.PRNGKey(12))
+        pop.collect_step_pallas = counting
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                ffn = sac.make_train_iters(env, fcfg, 8, mesh=mesh)
+                ffn.lower(fstate)
+        finally:
+            pop.collect_step_pallas = real
+        assert calls["n"] >= 1, "fused collection kernel never traced"
     else:
         raise SystemExit(f"unknown phase {phase}")
     print(f"proc {pid} OK phase={phase}")
