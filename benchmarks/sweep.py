@@ -22,24 +22,36 @@ import reinmav_tpu
 from reinmav_tpu.envs.core import control_rollout
 
 
-def bench_env(env_id: str, batch: int, horizon: int) -> dict:
+def bench_env(env_id: str, batch: int, horizon: int,
+              scan_chunk: int | None = None) -> dict:
+    """``scan_chunk``: split the SCAN leg's horizon into host-level
+    dispatches of this length (state/key carried between them) so no
+    single dispatch exceeds the tunnel watchdog's device-time budget —
+    the in-contact tpuquad scan runs ~0.6M steps/s, so a 500-step
+    B=131072 dispatch is ~100+ s of device time (the r4 horizon cap this
+    replaces; see envs/core.chunked_throughput_rollout for the
+    user-facing equivalent).  Chunk dispatches are queued asynchronously
+    and synced once per timing rep, so the measured rate stays honest.
+    """
     env = reinmav_tpu.make(env_id)
     key = jax.random.PRNGKey(0)
     states = env.vreset(jax.random.split(key, batch))
+    chunk = horizon if scan_chunk is None else min(scan_chunk, horizon)
+    assert horizon % chunk == 0, (horizon, chunk)
 
     if env.control_fn is not None:
 
         @jax.jit
         def run(states, key):
-            final, traj = control_rollout(
-                env, states, key, horizon, auto_reset=True,
+            final, traj, key_out = control_rollout(
+                env, states, key, chunk, auto_reset=True,
                 collect_trajectory=False, dense8=batch % 8 == 0,
+                return_key=True,
             )
             # Depend on the final state too: a state-independent reward
             # would otherwise let XLA dead-code-eliminate the dynamics.
-            return traj.reward.sum() + final.sum()
+            return final, key_out, traj.reward.sum() + final.sum()
 
-        args = (states, key)
     else:
         # Fixed-action stepping (reinmav ignores actions; tpuquad hover-ish).
         actions_t = jnp.full((max(env.action_dim, 1), batch), 0.4, states.dtype)[: env.action_dim]
@@ -59,21 +71,29 @@ def bench_env(env_id: str, batch: int, horizon: int) -> dict:
                 return (out.state, k), out.obs.sum()
 
             s8 = states.T.reshape(env.state_dim, 8, batch // 8)
-            (final, _), obs_sums = jax.lax.scan(body, (s8, key), None, length=horizon)
-            return obs_sums.sum() + final.sum()
+            (final, k_out), obs_sums = jax.lax.scan(
+                body, (s8, key), None, length=chunk)
+            return (final.reshape(env.state_dim, batch).T, k_out,
+                    obs_sums.sum() + final.sum())
 
-        args = (states, key)
+    def run_horizon(key):
+        s, k, r = states, key, None
+        for _ in range(horizon // chunk):
+            s, k, r = run(s, k)
+        return float(r)  # sync once: all queued dispatches drain here
 
-    float(run(*args))  # compile + sync
+    run_horizon(key)  # compile + sync
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        r = float(run(*args))
+        r = run_horizon(key)
         times.append(time.perf_counter() - t0)
         assert np.isfinite(r), env_id
     sps = batch * horizon / min(times)
     row = {"env": env_id, "batch": batch, "horizon": horizon,
            "env_steps_per_sec": round(sps)}
+    if chunk != horizon:
+        row["scan_chunk"] = chunk
 
     # Fused-Pallas backend where a kernel exists (TPU only).
     if jax.devices()[0].platform == "tpu":
@@ -125,16 +145,18 @@ def main():
             continue
         batch = args.reinmav_batch if env_id == "reinmav-v0" else args.batch
         horizon = args.horizon
+        scan_chunk = None
         if env_id in ("MujocoQuadForce-v0", "MujocoQuadQuat-v0"):
             # The coupled contact solve makes the SCAN path ~0.6M steps/s:
             # a 500-step dispatch at B=131072 is ~200 s of device time,
             # which trips the tunnelled runtime's watchdog and kills the
-            # TPU worker (observed 2026-08-20).  50 steps times the same
-            # per-step work; the rate is unchanged.
-            horizon = min(horizon, 50)
-        row = bench_env(env_id, batch, horizon)
-        if horizon != args.horizon:
-            row["note"] = "horizon capped: coupled-contact scan vs dispatch watchdog"
+            # TPU worker (observed 2026-08-20).  Chunk the scan leg into
+            # 50-step dispatches (state/key carried) — full horizon, safe
+            # dispatches (replaces the r4 horizon cap).
+            scan_chunk = min(50, horizon)
+            while horizon % scan_chunk:
+                scan_chunk -= 1
+        row = bench_env(env_id, batch, horizon, scan_chunk=scan_chunk)
 
         if env_id == "reinmav-v0":
             row["note"] = "each step runs ~50 controller+EOM substeps"

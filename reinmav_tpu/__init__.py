@@ -14,7 +14,9 @@ Quick start::
         env, env.vreset(jax.random.split(key, 4096)), key, horizon=400)
 """
 
-from .envs.core import EnvDef, StepOut, control_rollout, controller_policy, rollout
+from .envs.core import (EnvDef, StepOut, chunked_throughput_rollout,
+                        control_rollout, controller_policy, rollout,
+                        throughput_rollout)
 from .envs.registry import make, register, registered_ids
 
 __version__ = "0.1.0"
@@ -28,5 +30,7 @@ __all__ = [
     "rollout",
     "control_rollout",
     "controller_policy",
+    "throughput_rollout",
+    "chunked_throughput_rollout",
     "__version__",
 ]

@@ -280,7 +280,8 @@ def controller_policy(env: EnvDef):
 
 
 def control_rollout(env: EnvDef, init_states, key, horizon: int, auto_reset: bool = True,
-                    collect_trajectory: bool = True, dense8: bool = False):
+                    collect_trajectory: bool = True, dense8: bool = False,
+                    return_key: bool = False):
     """Rollout flown by the env's own classical controller — the canonical
     reference test pattern (``test_quadrotor3d.py:12-24``), fully fused in
     transposed (D, B) layout.  With ``collect_trajectory=False`` only
@@ -290,6 +291,11 @@ def control_rollout(env: EnvDef, init_states, key, horizon: int, auto_reset: boo
     ``dense8=True`` runs the scan in the sublane-dense (D, 8, B/8) view
     (~5x on TPU; requires ``B % 8 == 0``).  Leave False for
     device-sharded batches — the dense reshape crosses shard boundaries.
+
+    ``return_key=True`` additionally returns the scan's CARRIED key
+    after ``horizon`` steps: feeding (final, key) into another
+    control_rollout continues the exact unchunked stream — the
+    contract :func:`chunked_throughput_rollout` builds on.
     """
     batch = init_states.shape[0]
     if dense8 and batch % 8 != 0:
@@ -319,7 +325,8 @@ def control_rollout(env: EnvDef, init_states, key, horizon: int, auto_reset: boo
     init_t = init_states.T
     if dense8:
         init_t = init_t.reshape(env.state_dim, 8, batch // 8)
-    (final_t, _), traj = jax.lax.scan(body, (init_t, key), None, length=horizon)
+    (final_t, key_out), traj = jax.lax.scan(body, (init_t, key), None,
+                                            length=horizon)
     if dense8:
         final_t = final_t.reshape(env.state_dim, batch)
     if collect_trajectory:
@@ -344,6 +351,8 @@ def control_rollout(env: EnvDef, init_states, key, horizon: int, auto_reset: boo
             reward_traj = reward_traj.reshape(t_len, batch)
             done_traj = done_traj.reshape(t_len, batch)
         traj = StepOut(None, None, reward_traj, done_traj)
+    if return_key:
+        return final_t.T, traj, key_out
     return final_t.T, traj
 
 
@@ -446,9 +455,16 @@ def fused_kernel_mismatch(env: EnvDef, require_control: bool = True,
 
 
 def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str = "auto",
-                       dense8: bool | None = None):
+                       dense8: bool | None = None, return_key: bool = False):
     """Maximum-rate closed-loop rollout: returns only (final_states,
     per-env reward sums) — no trajectory materialisation.
+
+    ``return_key=True`` additionally returns a continuation key: for the
+    scan backends, the scan's carried key (continuing the EXACT
+    unchunked stream); for the pallas backends,
+    ``fold_in(key, horizon)`` (the kernels' on-core PRNG is seeded per
+    invocation — distinct per chunk, not stream-continuing).  Used by
+    :func:`chunked_throughput_rollout`.
 
     ``backend``: "pallas" (fused VMEM-resident kernel, quadrotor3d with
     default params on TPU only), "scan" (any env), or "auto" (pallas when
@@ -469,6 +485,14 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
         not hasattr(init_states, "sharding")
         or len(getattr(init_states.sharding, "device_set", [None])) <= 1
     )
+
+    def _ret(final, reward_sum):
+        """Pallas-branch return shim: the kernels' on-core PRNG is
+        seeded per invocation, so the continuation key is a fold, not a
+        carried stream."""
+        if return_key:
+            return final, reward_sum, jax.random.fold_in(key, horizon)
+        return final, reward_sum
 
     def pallas_mismatch() -> str | None:
         """Why the fused kernel would NOT reproduce this env's semantics
@@ -510,7 +534,7 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
             # the rollout (see CLAUDE.md benchmark-honesty note).
             anchor = 0.0 * final_t[0]
             reward_sum = 90.0 * horizon + anchor
-            return final_t.T, reward_sum
+            return _ret(final_t.T, reward_sum)
         if env.name == "MujocoQuadForce-v1":
             from ..ops import pallas_tpuquad
 
@@ -523,7 +547,7 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
                 params_vec=pallas_tpuquad.hover_params_vec(env.params),
                 frame_skip=env.params.frame_skip,
             )
-            return final_t.T, reward_sum
+            return _ret(final_t.T, reward_sum)
         if env.name in ("MujocoQuadForce-v0", "MujocoQuadQuat-v0"):
             from ..ops import pallas_tpuquad
 
@@ -536,7 +560,7 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
             )
             # These envs' reward is identically 0 (reference semantics);
             # anchor on the stepped Σz so XLA cannot DCE the physics.
-            return final_t.T, 0.0 * z_sum
+            return _ret(final_t.T, 0.0 * z_sum)
         if env.name == "quadrotor2d-v0":
             from ..ops import pallas_rollout
 
@@ -546,7 +570,7 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
                 tile8=min(512, init_states.shape[0] // 8),
                 params_vec=pallas_rollout.quad2d_params_vec(env.params),
             )
-            return final_t.T, reward_sum
+            return _ret(final_t.T, reward_sum)
         if env.name.endswith("slungload-v0"):
             from ..ops import pallas_slungload
 
@@ -562,7 +586,7 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
                 tile8=min(256, init_states.shape[0] // 8),
                 params_vec=pvec,
             )
-            return final_t.T, reward_sum
+            return _ret(final_t.T, reward_sum)
         from ..ops import pallas_rollout
 
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
@@ -571,20 +595,25 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
             tile8=min(512, init_states.shape[0] // 8),
             params_vec=pallas_rollout.quad3d_params_vec(env.params),
         )
-        return final_t.T, reward_sum
+        return _ret(final_t.T, reward_sum)
     if dense8 is None:
         dense8 = init_states.shape[0] % 8 == 0 and single_device
     if env.control_fn is not None:
-        final, traj = control_rollout(
-            env, init_states, key, horizon, collect_trajectory=False, dense8=dense8
+        final, traj, key_out = control_rollout(
+            env, init_states, key, horizon, collect_trajectory=False,
+            dense8=dense8, return_key=True,
         )
+        if return_key:
+            return final, traj.reward.sum(axis=0), key_out
         return final, traj.reward.sum(axis=0)
     # Controller-less envs (reinmav-v0 ignores actions; tpuquad): step
     # with zero actions.
-    return _zero_action_rollout(env, init_states, key, horizon, dense8)
+    return _zero_action_rollout(env, init_states, key, horizon, dense8,
+                                return_key=return_key)
 
 
-def _zero_action_rollout(env: EnvDef, init_states, key, horizon: int, dense8: bool):
+def _zero_action_rollout(env: EnvDef, init_states, key, horizon: int, dense8: bool,
+                         return_key: bool = False):
     batch = init_states.shape[0]
     dtype = init_states.dtype
     # reinmav-v0 is a continuous simulator whose done is always True (Q9);
@@ -613,11 +642,116 @@ def _zero_action_rollout(env: EnvDef, init_states, key, horizon: int, dense8: bo
         out = step_fn(s, actions, k_reset)
         return (out.state, k), out.reward
 
-    (final, _), rewards = jax.lax.scan(body, (init, key), None, length=horizon)
+    (final, key_out), rewards = jax.lax.scan(body, (init, key), None,
+                                             length=horizon)
     if dense8:
         final = final.reshape(env.state_dim, batch)
         rewards = rewards.reshape(reward_reshape)
+    if return_key:
+        return final.T, rewards.sum(axis=0), key_out
     return final.T, rewards.sum(axis=0)
+
+
+def chunked_throughput_rollout(env: EnvDef, init_states, key, horizon: int,
+                               backend: str = "auto",
+                               dense8: bool | None = None,
+                               device_time_budget_s: float = 30.0,
+                               probe_steps: int = 8):
+    """Watchdog-safe :func:`throughput_rollout`: splits ``horizon`` into
+    HOST-level dispatches sized so each stays under an estimated device
+    -time budget, carrying (states, reward sums, PRNG key) between them.
+
+    Why: the tunnelled TPU runtime kills the worker on any single
+    dispatch of ~200 s device time (observed 2026-08-20 on a 500-step
+    in-contact MujocoQuadForce-v0 scan at B=131072 — the coupled
+    contact solve runs ~0.6M steps/s on the scan path).  The reference
+    just loops ``mj_step`` on the host
+    (``gym_reinmav/example/mujoco/control_rpy.py:58-79``) so ANY horizon
+    works there; this is the equivalent contract for fused rollouts.
+
+    Mechanics: a ``probe_steps`` dispatch is compiled and re-run once to
+    time the warm per-step cost, then chunks are sized to
+    ``device_time_budget_s`` (quantised to powers of two to bound
+    recompiles; timings from freshly-compiled chunk lengths are not
+    used for estimation).  For the scan backends the carried key makes
+    the chunked run EXACTLY the unchunked stream
+    (``tests/test_chunked_rollout.py``); the pallas backends re-seed
+    per chunk (distinct, deterministic streams).
+
+    Host-dispatching by construction — calling it inside ``jit`` is an
+    error (use :func:`throughput_rollout` there and size the horizon
+    yourself).
+
+    Returns ``(final_states, per-env reward sums)``.
+    """
+    import time
+
+    if isinstance(init_states, jax.core.Tracer) or isinstance(key, jax.core.Tracer):
+        raise ValueError(
+            "chunked_throughput_rollout dispatches from the host and "
+            "cannot run under jit — call it un-jitted, or use "
+            "throughput_rollout inside jit with a watchdog-safe horizon")
+    horizon = int(horizon)
+    if horizon <= 0:
+        raise ValueError(f"horizon must be positive, got {horizon}")
+
+    compiled: dict = {}
+
+    def run(states, k, h):
+        fn = compiled.get(h)
+        fresh = fn is None
+        if fresh:
+            fn = jax.jit(
+                lambda s, kk: throughput_rollout(
+                    env, s, kk, h, backend=backend, dense8=dense8,
+                    return_key=True),
+            )
+            compiled[h] = fn
+        t0 = time.perf_counter()
+        f, r, k2 = fn(states, k)
+        jax.block_until_ready(f)
+        # Force one host transfer: block_until_ready alone under-reports
+        # on the tunnelled runtime (CLAUDE.md timing rule).
+        float(jnp.max(r))
+        return f, r, k2, time.perf_counter() - t0, fresh
+
+    states = init_states
+    reward_sum = None
+    remaining = horizon
+    per_step = None
+
+    # Probe: compile pass (untimed estimate), then a warm timed pass if
+    # the horizon has room — the first dispatch's wall time includes the
+    # compile and would massively over-estimate per-step cost.
+    p = min(probe_steps, remaining)
+    states, r, key, _, _ = run(states, key, p)
+    reward_sum = r
+    remaining -= p
+    if remaining > 0:
+        p2 = min(p, remaining)
+        states, r, key, dt, fresh = run(states, key, p2)
+        reward_sum = reward_sum + r
+        remaining -= p2
+        if not fresh:
+            per_step = dt / p2
+
+    while remaining > 0:
+        if per_step is None or per_step <= 0:
+            h = min(remaining, probe_steps)
+        else:
+            target = max(1, int(device_time_budget_s / per_step))
+            # Power-of-two quantisation: bounds distinct compiled chunk
+            # lengths to O(log horizon).
+            h = 1 << (target.bit_length() - 1)
+            h = min(remaining, max(h, 1))
+        # A remainder shorter than the quantised chunk just runs as its
+        # own length (one extra compile at most, at the very end).
+        states, r, key, dt, fresh = run(states, key, h)
+        reward_sum = reward_sum + r
+        remaining -= h
+        if not fresh and h > 0:
+            per_step = dt / h
+    return states, reward_sum
 
 
 def uniform_reset(dim: int, low: float = -1.0, high: float = 1.0):

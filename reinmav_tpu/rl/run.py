@@ -21,6 +21,7 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .. import make
@@ -408,6 +409,53 @@ def play(args, state: ppo.TrainState | None = None):
     return _emit_play_outputs(env, args, states, total_reward, episodes)
 
 
+def play_recurrent(args, state=None):
+    """``--play`` for ``--network=gru``: greedy (mean-action) rollout
+    with the GRU hidden threaded through the play loop and masked on
+    episode boundaries exactly as in training (recurrent.policy_step) —
+    the reference play loop works for every policy it can train
+    (``run.py:190-213``).  GIF/HTML export ride the shared emitter."""
+    from . import recurrent
+
+    env = make(args.env)
+    cfg = recurrent.RecurrentPpoConfig(
+        num_envs=args.num_env, rollout_len=args.rollout_len,
+        hidden=args.num_hidden, embed=args.num_hidden,
+    )
+    if state is None:
+        state = recurrent.init_train_state(env, cfg,
+                                           jax.random.PRNGKey(args.seed))
+        if args.load_path:
+            state = ckpt.restore(args.load_path, state)
+
+    @jax.jit
+    def greedy_step(params, h, done_prev, s):
+        obs_t = s[: env.obs_dim].astype(jnp.float32)[:, None]
+        h2, mean, _, _ = recurrent.policy_step(params, h, obs_t, done_prev)
+        out = env.step(s, mean[:, 0].astype(s.dtype))
+        return out, h2
+
+    # The hidden is the play loop's carry: _greedy_rollout resets the
+    # ENV state on done; the GRU state resets itself via the done_prev
+    # mask on the next call (same contract as the training scan).
+    carry = {
+        "h": jnp.zeros((cfg.hidden, 1), jnp.float32),
+        "d": jnp.zeros((1,), jnp.float32),
+    }
+
+    def step(s):
+        out, h2 = greedy_step(state.params, carry["h"], carry["d"], s)
+        carry["h"] = h2
+        carry["d"] = jnp.asarray(
+            [float(bool(out.done) or (out.truncated is not None
+                                      and bool(out.truncated)))],
+            jnp.float32)
+        return out
+
+    states, total_reward, episodes = _greedy_rollout(env, args, step)
+    return _emit_play_outputs(env, args, states, total_reward, episodes)
+
+
 def play_offpolicy(args, state=None):
     """``--play`` for the off-policy algs: noise-free actor rollout
     with the same reset-on-done loop and GIF/HTML export as the PPO
@@ -458,9 +506,11 @@ def main(argv=None):
     if args.network == "gru":
         if args.alg != "ppo":
             raise SystemExit("--network=gru supports --alg=ppo only")
+        state = None
+        if not args.play or args.load_path is None:
+            state = train_recurrent(args)
         if args.play:
-            raise SystemExit("--play is not wired for --network=gru yet")
-        train_recurrent(args)
+            play_recurrent(args, state)
         return
     state = None
     if not args.play or args.load_path is None:
