@@ -76,3 +76,78 @@ def g_vmap_colslice(buf_t, idx):
 
 if __name__ == "__main__":
     pass
+
+
+# ---------------------------------------------------------------------------
+# r4 verdict #7: in-kernel gather — scalar-prefetched per-column DMAs
+# (the PPO loss kernel's trick at tile=1 granularity).  The ring stays
+# in HBM (memory_space ANY); each grid step issues a wave of G column
+# copies on G semaphores, waits, and writes the (R, G) block out.
+
+def pallas_gather_fn(R=32, CAP=1 << 21, BATCH=8192, G=128):
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(idx_ref, buf_ref, out_ref, scratch, sems):
+        g = pl.program_id(0)
+
+        def start(i, _):
+            c = idx_ref[g * G + i]
+            pltpu.make_async_copy(
+                buf_ref.at[:, pl.ds(c, 1)], scratch.at[:, pl.ds(i, 1)],
+                sems.at[i],
+            ).start()
+            return 0
+
+        jax.lax.fori_loop(0, G, start, 0)
+
+        def wait(i, _):
+            pltpu.make_async_copy(
+                buf_ref.at[:, pl.ds(0, 1)], scratch.at[:, pl.ds(i, 1)],
+                sems.at[i],
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, G, wait, 0)
+        out_ref[:, :] = scratch[:, :]
+
+    @jax.jit
+    def gather(buf, idx):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BATCH // G,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
+            out_specs=pl.BlockSpec((R, G), lambda b, *_: (0, b)),
+            scratch_shapes=[
+                pltpu.VMEM((R, G), jnp.float32),
+                pltpu.SemaphoreType.DMA((G,)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((R, BATCH), jnp.float32),
+        )(idx, buf)
+
+    return gather
+
+
+def probe_pallas_gather():
+    R = 32
+    ring32 = jnp.zeros((R, CAP), jnp.float32) + jnp.arange(
+        R, dtype=jnp.float32)[:, None]
+    for G in (64, 128, 256, 512):
+        gf = pallas_gather_fn(R=R, CAP=CAP, BATCH=BATCH, G=G)
+        t = timeit(scan_over(lambda buf, idx, gf=gf: gf(buf, idx)), ring32,
+                   jax.random.PRNGKey(1))
+        print(f"pallas col dma (G={G}): {t*1e3:7.3f} ms")
+    # reference on the same 32-row ring
+    ring32_rows = jnp.asarray(ring32.T)
+    print(f"vmap slice (R=32)     : "
+          f"{timeit(scan_over(g_vmap_colslice), ring32, jax.random.PRNGKey(1))*1e3:7.3f} ms")
+
+
+if __name__ == "__main__":
+    probe_pallas_gather()

@@ -28,8 +28,9 @@ pure-JAX free rigid body:
   (see ``_contact_wrench``; measured ≤6.7e-6 m over 1-2 s vs ``mj_step``
   across drop/settle/tilt/pop-out scenarios, ≤5.3e-5 in the 40° tumble,
   at the shipped 120 solver sweeps — the table in
-  ``oracle/tpuquad_ref.py``).  Arm-box contacts are excluded (measured
-  irrelevant in every pinned scenario).
+  ``oracle/tpuquad_ref.py``).  The 48-candidate set includes the four
+  arm boxes' corners (r5): the arm-riding crawl scenario tracks full
+  mj to 4.4e-9 m/3 s at converged sweeps.
 * Observations: ``concat(qpos, qvel)`` = [pos(3), quat wxyz(4), vel(3),
   ω_body(3)] — 13-dim like the reference (``mujoco_quad.py:71-72``).
 * Rewards / termination replicate C7-C9 exactly:
@@ -122,12 +123,12 @@ _MOTOR_Y = (1.0, -1.0, -1.0, 1.0)
 _YAW_SIGN = (-1.0, 1.0, -1.0, 1.0)
 
 # Contact candidate geometry, mirroring MuJoCo's collision functions on
-# the reference XML geoms (oracle/tpuquad_ref.py documents the set and
-# the measured fidelity; arm boxes are excluded there too): the core
-# box's 8 corners (plane-box keeps the below-plane subset) and the 4
-# thruster cylinders' two cap-rim deepest points each (the tilted
-# plane-cylinder case — the caps can't lie flat on the floor while the
-# core box is intact).
+# the reference XML geoms (oracle/tpuquad_ref.py documents the set, the
+# measured fidelity, and the probed mjc_PlaneBox/PlaneCylinder caveats):
+# the core box's 8 corners (plane-box keeps the below-plane subset), the
+# 4 thruster cylinders' two cap-rim deepest points each (the tilted
+# plane-cylinder case), and — since r5 — the four arm boxes' 8 corners
+# each (quadrotor_ground.xml:9-12; candidate order matches the oracle).
 _CORE_CORNERS = tuple(
     (sx * 0.06, sy * 0.035, sz * 0.025)
     for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)
@@ -135,6 +136,17 @@ _CORE_CORNERS = tuple(
 _THRUSTER_CENTERS = ((0.1, 0.1, 0.01), (0.1, -0.1, 0.01),
                      (-0.1, -0.1, 0.01), (-0.1, 0.1, 0.01))
 _THRUSTER_R, _THRUSTER_HH = 0.05, 0.0025
+
+
+def _arm_corner_tuple():
+    from ..oracle.tpuquad_ref import ARM_CORNERS
+
+    return tuple(tuple(float(v) for v in row) for row in ARM_CORNERS)
+
+
+#: (32, 3) arm-box corners in the body frame — the SAME derived values
+#: as the oracle (one source of truth for the XML transcription).
+_ARM_CORNERS = _arm_corner_tuple()
 # Pyramid tangents for the z-plane floor (mju_makeFrame(0,0,1) order)
 # and the shared solver sweep count (oracle/tpuquad_ref.PGS_ITERS
 # documents the hybrid sweep and the measured convergence).
@@ -186,10 +198,11 @@ def _fluid_wrench_body(p, vel_com_b, omega_b, dtype):
 
 
 def _contact_candidates(pos, rot):
-    """World-frame contact candidate SURFACE points, (16, 3): the core
-    box corners and the thruster cap-rim deepest points (see the
-    candidate-geometry comment above; ``oracle/tpuquad_ref.py``
-    validates the set against MuJoCo's collision functions)."""
+    """World-frame contact candidate SURFACE points, (48, 3): the core
+    box corners, the thruster cap-rim deepest points, and the arm-box
+    corners (see the candidate-geometry comment above;
+    ``oracle/tpuquad_ref.py`` validates the set against MuJoCo's
+    collision functions; order mirrored there and in the kernel)."""
     dtype = pos.dtype
     corners = jnp.asarray(_CORE_CORNERS, dtype)
     pts_core = pos + corners @ rot.T
@@ -201,7 +214,8 @@ def _contact_candidates(pos, rot):
     hh = jnp.asarray([0.0, 0.0, _THRUSTER_HH], dtype)
     caps = jnp.concatenate([ctr + hh, ctr - hh])
     pts_thr = pos + caps @ rot.T + _THRUSTER_R * u
-    return jnp.concatenate([pts_core, pts_thr])
+    pts_arm = pos + jnp.asarray(_ARM_CORNERS, dtype) @ rot.T
+    return jnp.concatenate([pts_core, pts_thr, pts_arm])
 
 
 def _contact_wrench(p, pos, vel, omega_body, rot, acc0_com, alpha0):
@@ -211,7 +225,7 @@ def _contact_wrench(p, pos, vel, omega_body, rot, acc0_com, alpha0):
 
         f* = argmin_{f≥0} ½ fᵀ(A+R)f + fᵀ(J·a_smooth − aref)
 
-    over 16 candidates × 4 pyramid rows (``e = n ± μ·t``), inactive
+    over 48 candidates × 4 pyramid rows (``e = n ± μ·t``), inactive
     candidates masked.  A = J M⁻¹ Jᵀ couples all rows; the projected
     Gauss-Seidel solve is matrix-free (the aggregated 6-DoF wrench makes
     each row update O(1)).  Returns (world force, body torque about the
@@ -232,10 +246,20 @@ def _contact_wrench(p, pos, vel, omega_body, rot, acc0_com, alpha0):
 
     @jax.custom_batching.custom_vmap
     def gated(pos, vel, omega_body, rot, acc0_com, alpha0):
-        any_pen = jnp.any(_contact_candidates(pos, rot)[:, 2] < 0.0)
+        dists = _contact_candidates(pos, rot)[:, 2]
+        # Two-tier (see _contact_solve): arm corners engage rarely, and
+        # the 16-solve is bitwise-equal whenever they don't.
+        arm_pen = jnp.any(dists[16:] < 0.0)
         return jax.lax.cond(
-            any_pen, lambda *a: _contact_solve(p, *a), zeros,
-            pos, vel, omega_body, rot, acc0_com, alpha0,
+            jnp.any(dists < 0.0),
+            lambda ap, *a: jax.lax.cond(
+                ap,
+                lambda *s: _contact_solve(p, *s, n_cand=48),
+                lambda *s: _contact_solve(p, *s, n_cand=16),
+                *a,
+            ),
+            lambda ap, *a: zeros(),
+            arm_pen, pos, vel, omega_body, rot, acc0_com, alpha0,
         )
 
     @gated.def_vmap
@@ -261,11 +285,23 @@ def _gated_solve_batched(p, dtype, pos, vel, omega_body, rot, acc0_com, alpha0):
         dists = jax.vmap(
             lambda pp, rr: _contact_candidates(pp, rr)[:, 2]
         )(pos, rot)
+        # Two-tier over the whole batch (see _contact_solve): the full
+        # 48-candidate sweep runs only when some sample's ARM corner
+        # penetrates; otherwise the bitwise-equal 16-solve.
+        arm_pen = jnp.any(dists[:, 16:] < 0.0)
         return jax.lax.cond(
             jnp.any(dists < 0.0),
-            lambda *a: jax.vmap(lambda *s: _contact_solve(p, *s))(*a),
-            lambda *a: (jnp.zeros((B, 3), dtype), jnp.zeros((B, 3), dtype)),
-            pos, vel, omega_body, rot, acc0_com, alpha0,
+            lambda ap, *a: jax.lax.cond(
+                ap,
+                lambda *s: jax.vmap(
+                    lambda *x: _contact_solve(p, *x, n_cand=48))(*s),
+                lambda *s: jax.vmap(
+                    lambda *x: _contact_solve(p, *x, n_cand=16))(*s),
+                *a,
+            ),
+            lambda ap, *a: (jnp.zeros((B, 3), dtype),
+                            jnp.zeros((B, 3), dtype)),
+            arm_pen, pos, vel, omega_body, rot, acc0_com, alpha0,
         )
 
     @run.def_vmap
@@ -283,15 +319,24 @@ def _gated_solve_batched(p, dtype, pos, vel, omega_body, rot, acc0_com, alpha0):
     return run(pos, vel, omega_body, rot, acc0_com, alpha0)
 
 
-def _contact_solve(p, pos, vel, omega_body, rot, acc0_com, alpha0):
-    """The ungated coupled solve (see :func:`_contact_wrench`)."""
+def _contact_solve(p, pos, vel, omega_body, rot, acc0_com, alpha0,
+                   n_cand: int = 48):
+    """The ungated coupled solve (see :func:`_contact_wrench`).
+
+    ``n_cand``: static candidate-set prefix to solve over — 16 (core +
+    thruster caps) or 48 (+ arm corners).  When no arm corner
+    penetrates, the 16-solve is BITWISE the 48-solve (inactive
+    candidates contribute exact zeros to every sweep stage and to the
+    1/n_active damping), so the gate below picks the cheap tier for the
+    common settle/ride regimes and the full set only when arms engage
+    (the 48-wide sweep measured ~4.5× the 16-wide one on TPU)."""
     dtype = pos.dtype
     inertia = jnp.asarray(p.inertia_diag, dtype)
     c = jnp.asarray([0.0, 0.0, p.com_z], dtype)
     inv_m = 1.0 / p.mass
     mu = p.contact_friction
 
-    pts = _contact_candidates(pos, rot)                     # (16, 3)
+    pts = _contact_candidates(pos, rot)[:n_cand]            # (n_cand, 3)
     dist = pts[:, 2]
     active = dist < 0.0
     pen = -dist
@@ -299,7 +344,7 @@ def _contact_solve(p, pos, vel, omega_body, rot, acc0_com, alpha0):
     com_w = pos + rot @ c
     rho_b = (mid - com_w) @ rot                             # Rᵀx, row-wise
     r_b = (mid - pos) @ rot                                 # from the origin
-    d = _impedance(p, pen)                                  # (16,)
+    d = _impedance(p, pen)                                  # (48,)
     R_reg = (1.0 - d) / d * (2.0 * mu * mu * (1.0 + mu * mu) * inv_m)
 
     # Point velocities / smooth accelerations in ORIGIN coordinates
@@ -316,16 +361,16 @@ def _contact_solve(p, pos, vel, omega_body, rot, acc0_com, alpha0):
                        n + mu * t[1], n - mu * t[1]])       # (4, 3)
     edges_b = edges @ rot                                   # Rᵀe, (4, 3)
 
-    arm = jnp.cross(rho_b[:, None, :], edges_b[None, :, :])      # (16, 4, 3)
+    arm = jnp.cross(rho_b[:, None, :], edges_b[None, :, :])      # (48, 4, 3)
     diag = (jnp.sum(edges * edges, axis=1) * inv_m)[None, :] + \
         jnp.sum(arm * arm / inertia, axis=2) + R_reg[:, None]
-    vel_rows = v_pt @ edges.T                                     # (16, 4)
+    vel_rows = v_pt @ edges.T                                     # (48, 4)
     aref = (d * _CONTACT_K * pen)[:, None] - _CONTACT_B * vel_rows
-    b_rows = a_pt0 @ edges.T - aref                               # (16, 4)
+    b_rows = a_pt0 @ edges.T - aref                               # (48, 4)
 
     # Hybrid sweep (oracle/tpuquad_ref.PGS_ITERS): GS across the 4 row
     # types, ω-damped Jacobi across candidates — each stage is one
-    # vectorized pass over all 16 candidates, matrix-free via the
+    # vectorized pass over all 48 candidates, matrix-free via the
     # aggregate wrench.  ω = 1/n_active keeps Jacobi stable; the fixed
     # point is the QP optimum for any ω > 0.
     w = 1.0 / jnp.maximum(1.0, jnp.sum(active.astype(dtype)))

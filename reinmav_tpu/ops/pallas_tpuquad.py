@@ -14,7 +14,7 @@ substeps, exp-map quaternion integration, rigid-body Euler equation
 with the geom-derived inertia, MuJoCo's inertia-box fluid drag, the
 CoM-offset origin coupling, and — for the ground/quat models — the
 COUPLED contact solve (MuJoCo's dual QP by the matrix-free hybrid
-relaxation sweep, candidate-stacked into (16·8, bt) tiles), all
+relaxation sweep, candidate-stacked into (48·8, bt) tiles), all
 in-kernel (see
 ``envs/tpuquad.py`` for the physics derivation and
 ``tests/test_mujoco_divergence.py`` for the measured fidelity vs real
@@ -74,6 +74,16 @@ _THRUSTER_CENTERS = ((0.1, 0.1, 0.01), (0.1, -0.1, 0.01),
 _THRUSTER_R, _THRUSTER_HH = 0.05, 0.0025
 _PGS_ITERS = 120
 
+
+def _arm_corners():
+    # Same derived XML values as the env/oracle (single source of truth).
+    from ..oracle.tpuquad_ref import ARM_CORNERS
+
+    return tuple(tuple(float(v) for v in row) for row in ARM_CORNERS)
+
+
+_ARM_CORNERS = _arm_corners()
+
 _GROUND = dict(
     mass=0.3,
     ix=0.0016787227432770446, iy=0.0017578105900562893, iz=0.0033807,
@@ -125,22 +135,29 @@ def _impedance(pen):
 
 
 def _candidate_sum(x):
-    """(16·8, bt) candidate-stacked tile → (8, bt) sum over the 16
-    candidate groups (pairwise halving — sublane slices at multiples
-    of 8, Mosaic-friendly)."""
+    """(N·8, bt) candidate-stacked tile → (8, bt) sum over the N
+    candidate groups (pairwise halving with a power-of-two peel for
+    non-power-of-two N, e.g. the 48-candidate set — every slice stays
+    at a multiple of 8 sublanes, Mosaic-friendly)."""
+    groups = x.shape[0] // 8
+    p2 = 1 << (groups.bit_length() - 1)
+    extra = None
+    if p2 != groups:
+        extra = _candidate_sum(x[p2 * 8:])
+        x = x[: p2 * 8]
     while x.shape[0] > 8:
         h = x.shape[0] // 2
         x = x[:h] + x[h:]
-    return x
+    return x if extra is None else x + extra
 
 
 def _coupled_contact(c, pos, rot, vel, omega, force, torque, gyro):
     """The coupled plane-contact solve of ``envs/tpuquad._contact_wrench``
-    on component rows: MuJoCo's dual QP over 16 candidates × 4 pyramid
+    on component rows: MuJoCo's dual QP over 48 candidates × 4 pyramid
     row types, solved by the SAME hybrid sweep as the env (GS across row
     types, mass-split Jacobi across candidates) so kernel and scan agree
     to f32 reassociation.  Candidate quantities are stacked into
-    (16·8, bt) tiles, making every sweep stage one vectorized pass over
+    (48·8, bt) tiles, making every sweep stage one vectorized pass over
     all candidates.  Takes the UNCONSTRAINED force/torque accumulators
     and returns them with the contact wrench added."""
     px, py, pz = pos
@@ -180,10 +197,11 @@ def _coupled_contact(c, pos, rot, vel, omega, force, torque, gyro):
     uwx, uwy, uwz = uwx * inv_nu, uwy * inv_nu, uwz * inv_nu
 
     # Candidate order MUST match envs/tpuquad._contact_candidates:
-    # 8 core corners, then 4 upper caps, then 4 lower caps.
+    # 8 core corners, 4 upper caps, 4 lower caps, 32 arm corners.
     cands = [(b, None) for b in _CORE_CORNERS]
     cands += [((cx, cy, czc + _THRUSTER_HH), True) for cx, cy, czc in _THRUSTER_CENTERS]
     cands += [((cx, cy, czc - _THRUSTER_HH), True) for cx, cy, czc in _THRUSTER_CENTERS]
+    cands += [(b, None) for b in _ARM_CORNERS]
 
     per_cand = dict(active=[], Ri=[], P=[], Q1=[], Q2=[],
                     aN=([], [], []), aT1=([], [], []), aT2=([], [], []),
@@ -258,7 +276,7 @@ def _coupled_contact(c, pos, rot, vel, omega, force, torque, gyro):
         for lst, v in zip(per_cand["aT2"], (aT2x, aT2y, aT2z)):
             lst.append(v + zero)
 
-    # Stack per-candidate (8, bt) quantities into (16·8, bt) tiles.
+    # Stack per-candidate (8, bt) quantities into (48·8, bt) tiles.
     cat = lambda xs: jnp.concatenate(xs, axis=0)
     act_s = cat(per_cand["active"])
     Ri_s = cat(per_cand["Ri"])
@@ -274,39 +292,55 @@ def _coupled_contact(c, pos, rot, vel, omega, force, torque, gyro):
         b_k = P_s + s * mu * (Q1_s if tj == 1 else Q2_s)
         stages.append((tj, s, arm_k, b_k, cat(per_cand["rd"][k])))
 
-    n_act = _candidate_sum(act_s)
-    w = 1.0 / jnp.maximum(1.0, n_act)          # mass-split Jacobi damping
-    reps = len(cands)
-    w_t = jnp.tile(w, (reps, 1))
     zero8 = jnp.zeros_like(pz)
-    zero_s = jnp.zeros_like(act_s)
 
-    def sweep(_, carry):
-        f = list(carry[0])
-        Fx, Fy, Fz, Wx, Wy, Wz = carry[1:]
-        for k, (tj, s, arm_k, b_k, rd_k) in enumerate(stages):
-            eF = Fz + s * mu * (Fy if tj == 1 else -Fx)
-            Af = (jnp.tile(eF * inv_m + jnp.zeros_like(Fz), (reps, 1))
-                  + arm_k[0] * jnp.tile(Wx, (reps, 1))
-                  + arm_k[1] * jnp.tile(Wy, (reps, 1))
-                  + arm_k[2] * jnp.tile(Wz, (reps, 1)))
-            new = jnp.maximum(
-                0.0, f[k] - w_t * (Af + Ri_s * f[k] + b_k) * rd_k)
-            df = jnp.where(act_s > 0.0, new - f[k], zero_s)
-            f[k] = f[k] + df
-            sdf = _candidate_sum(df)
-            Fz = Fz + sdf
-            if tj == 1:
-                Fy = Fy + s * mu * sdf
-            else:
-                Fx = Fx - s * mu * sdf
-            Wx = Wx + _candidate_sum(arm_k[0] * df) * inv_ix
-            Wy = Wy + _candidate_sum(arm_k[1] * df) * inv_iy
-            Wz = Wz + _candidate_sum(arm_k[2] * df) * inv_iz
-        return (tuple(f), Fx, Fy, Fz, Wx, Wy, Wz)
+    def run_sweep(nc):
+        """The hybrid sweep over the first ``nc`` candidate groups.
+        Two-tier (mirrors envs/tpuquad._contact_solve): when no ARM
+        corner is active in this tile, the 16-group sweep is BITWISE
+        the 48-group one (inactive candidates contribute exact zeros
+        everywhere, incl. the 1/n_active damping) at ~1/4.5 the cost."""
+        sl = nc * 8
+        act_c = act_s[:sl]
+        Ri_c = Ri_s[:sl]
+        stages_c = [(tj, s, tuple(a[:sl] for a in arm_k), b_k[:sl],
+                     rd_k[:sl]) for (tj, s, arm_k, b_k, rd_k) in stages]
+        n_act = _candidate_sum(act_c)
+        w = 1.0 / jnp.maximum(1.0, n_act)      # mass-split Jacobi damping
+        w_t = jnp.tile(w, (nc, 1))
+        zero_s = jnp.zeros_like(act_c)
 
-    carry = ((zero_s,) * 4, zero8, zero8, zero8, zero8, zero8, zero8)
-    _, Fx, Fy, Fz, Wx, Wy, Wz = jax.lax.fori_loop(0, _PGS_ITERS, sweep, carry)
+        def sweep(_, carry):
+            f = list(carry[0])
+            Fx, Fy, Fz, Wx, Wy, Wz = carry[1:]
+            for k, (tj, s, arm_k, b_k, rd_k) in enumerate(stages_c):
+                eF = Fz + s * mu * (Fy if tj == 1 else -Fx)
+                Af = (jnp.tile(eF * inv_m + jnp.zeros_like(Fz), (nc, 1))
+                      + arm_k[0] * jnp.tile(Wx, (nc, 1))
+                      + arm_k[1] * jnp.tile(Wy, (nc, 1))
+                      + arm_k[2] * jnp.tile(Wz, (nc, 1)))
+                new = jnp.maximum(
+                    0.0, f[k] - w_t * (Af + Ri_c * f[k] + b_k) * rd_k)
+                df = jnp.where(act_c > 0.0, new - f[k], zero_s)
+                f[k] = f[k] + df
+                sdf = _candidate_sum(df)
+                Fz = Fz + sdf
+                if tj == 1:
+                    Fy = Fy + s * mu * sdf
+                else:
+                    Fx = Fx - s * mu * sdf
+                Wx = Wx + _candidate_sum(arm_k[0] * df) * inv_ix
+                Wy = Wy + _candidate_sum(arm_k[1] * df) * inv_iy
+                Wz = Wz + _candidate_sum(arm_k[2] * df) * inv_iz
+            return (tuple(f), Fx, Fy, Fz, Wx, Wy, Wz)
+
+        carry = ((zero_s,) * 4, zero8, zero8, zero8, zero8, zero8, zero8)
+        out = jax.lax.fori_loop(0, _PGS_ITERS, sweep, carry)
+        return out[1:]
+
+    has_arm = jnp.any(act_s[16 * 8:] > 0.0)
+    Fx, Fy, Fz, Wx, Wy, Wz = jax.lax.cond(
+        has_arm, lambda: run_sweep(48), lambda: run_sweep(16))
     return (fx + Fx, fy + Fy, fz + Fz,
             tx + Wx * ix, ty + Wy * iy, tz + Wz * iz)
 

@@ -56,7 +56,12 @@ in ``tools/mj_coupled_check.py``):
 * Full-thrust takeoff through the contact regime: float64 round-off.
 * 40° tumble over rotor-cylinder rim contacts: ≤5.3e-5 m over 1 s.
 * z=0 reset pop-out (20 mj contacts incl. all arm boxes): ≤6.7e-6 m.
-(All at the shipped 120 sweeps; 240 sweeps reaches ≤5e-7 m everywhere.)
+* arm-riding flip + random-thrust crawl (3 s, arms load-bearing —
+  arms-disabled mj diverges >5e-2 there): 7e-4 at 120 sweeps,
+  4.4e-9 m / 6.5e-8 quat at 1200 (chaotic flip amplifies the PGS
+  residual; the 1200-sweep row is the model-exactness claim).
+(All other rows at the shipped 120 sweeps; 240 sweeps reaches ≤5e-7 m
+on every 1-2 s row.)
 """
 
 from __future__ import annotations
@@ -96,13 +101,20 @@ YAW_SIGN = np.array([-1.0, 1.0, -1.0, 1.0]) * 0.1  # gear [.. ∓0.1]
 # * plane-box (core, half sizes 0.06/0.035/0.025): the below-plane corners
 #   (mjc_PlaneBox reports every corner with dist<0, ≤4 per box);
 # * plane-cylinder (4 thrusters, r=0.05, hh=0.0025 at (±0.1,±0.1,0.01)):
-#   the deepest rim point of each end cap (the tilted-cylinder case —
-#   these cylinders geometrically cannot lie cap-flat on the floor while
-#   the core box is intact, so the flat 3-point case never occurs).
-# The arm boxes are EXCLUDED (measured: zero effect in every pinned
-# scenario — flat drop/settle, 8° tilted drop, 40° tumble, zero-ctrl
-# reset pop-out all match mj with arm contacts disabled to ≤1e-15;
-# only adversarial random-thrust ground-crawling reaches ~2e-2 over 3 s).
+#   the deepest rim point of each end cap (the tilted-cylinder case).
+#   mjc_PlaneCylinder's near-flat ±120° anti-rocking rim points are NOT
+#   modelled: a cap can only reach the floor at body tilt ≳0.19 rad
+#   (the core box holds it 0.0075 m up when level), where the extras sit
+#   ≳r·sinθ·(1−cos120°) ≈ 15 mm above the deepest point — far outside
+#   the ~1-3 mm reachable penetrations (probed vs mujoco 3.10,
+#   2026-08-20: extras appear only in submerged states z<0).
+# * plane-box on the FOUR ARM BOXES (half 0.05×0.01×0.0025 at
+#   (±0.071,±0.071,0), z-rotated ±45°/±135° — quadrotor_ground.xml:9-12):
+#   all 8 corners each, masked by dist<0 (r4 verdict #5; previously
+#   excluded, ~2e-2 m over 3 s under random-thrust ground-crawling).
+#   mjc_PlaneBox caps at 4 contacts per box, but ≥5 corners of one box
+#   below the plane requires the thin arm more than half-buried —
+#   unreachable at the impedance-limited penetrations (probed).
 CORE_CORNERS = np.array(
     [[sx * 0.06, sy * 0.035, sz * 0.025]
      for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
@@ -111,7 +123,26 @@ THRUSTER_CENTERS = np.array(
     [[0.1, 0.1, 0.01], [0.1, -0.1, 0.01], [-0.1, -0.1, 0.01], [-0.1, 0.1, 0.01]]
 )
 THRUSTER_R, THRUSTER_HH = 0.05, 0.0025
-N_CANDIDATES = 16  # 8 corners + 4 thrusters × 2 caps
+
+
+def _arm_corners():
+    """(32, 3) body-frame corner points of the four arm boxes, from the
+    XML pos/quat/size verbatim (_ARM_GEOMS; the z-quat angle is
+    normalisation-invariant via atan2)."""
+    out = []
+    for _, center, (qw, qz), (_, hx, hy, hz) in _ARM_GEOMS:
+        th = 2.0 * np.arctan2(qz, qw)
+        cth, sth = np.cos(th), np.sin(th)
+        rot = np.array([[cth, -sth, 0.0], [sth, cth, 0.0], [0.0, 0.0, 1.0]])
+        corners = np.array([[sx * hx, sy * hy, sz * hz]
+                            for sx in (-1, 1) for sy in (-1, 1)
+                            for sz in (-1, 1)])
+        out.append(np.asarray(center, float) + corners @ rot.T)
+    return np.concatenate(out)
+
+
+ARM_CORNERS = _arm_corners()
+N_CANDIDATES = 48  # 8 core corners + 4 thrusters × 2 caps + 4 arms × 8
 
 
 def _geom_inertia_local(m, spec):
@@ -273,10 +304,12 @@ PGS_ITERS = 120
 def contact_candidates(pos, rot):
     """World-frame contact candidate points + signed distances.
 
-    Returns (points (16,3) world, dist (16,)) — the below-plane subset
+    Returns (points (48,3) world, dist (48,)) — the below-plane subset
     mirrors MuJoCo's plane-box / tilted plane-cylinder contact sets
     (points are the SURFACE points; the engine's midpoint shift is
-    applied by the caller)."""
+    applied by the caller).  Order: 8 core corners, 4 upper caps,
+    4 lower caps, 32 arm corners (envs/tpuquad and the kernel mirror
+    this order)."""
     pts = np.empty((N_CANDIDATES, 3))
     pts[:8] = pos + CORE_CORNERS @ rot.T
     axis = rot[:, 2]
@@ -287,7 +320,8 @@ def contact_candidates(pos, rot):
         THRUSTER_CENTERS + np.array([0.0, 0.0, THRUSTER_HH]),
         THRUSTER_CENTERS - np.array([0.0, 0.0, THRUSTER_HH]),
     ])
-    pts[8:] = pos + caps @ rot.T + THRUSTER_R * u
+    pts[8:16] = pos + caps @ rot.T + THRUSTER_R * u
+    pts[16:] = pos + ARM_CORNERS @ rot.T
     return pts, pts[:, 2].copy()
 
 
@@ -325,7 +359,7 @@ def _contact_wrench(p: OracleParams, pos, vel, omega, rot, acc0_com, alpha0):
     inv_m = 1.0 / p.mass
     com_w = pos + rot @ c
 
-    # Per-candidate row data, vectorized over the 16 candidates.
+    # Per-candidate row data, vectorized over the 48 candidates.
     pen = -dist                                               # (16,)
     mid = pts.copy()
     mid[:, 2] = 0.5 * dist                                    # midpoint shift
@@ -337,12 +371,12 @@ def _contact_wrench(p: OracleParams, pos, vel, omega, rot, acc0_com, alpha0):
     a_o0 = acc0_com - rot @ (np.cross(alpha0, c) + np.cross(omega, np.cross(omega, c)))
     a_pt0 = a_o0 + np.cross(np.broadcast_to(alpha0, r_b.shape), r_b) @ rot.T
     edges_b = edges @ rot                                     # Rᵀe, (4, 3)
-    arm = np.cross(rho_b[:, None, :], edges_b[None, :, :])    # (16, 4, 3)
+    arm = np.cross(rho_b[:, None, :], edges_b[None, :, :])    # (48, 4, 3)
     diag = (edges * edges).sum(1)[None, :] * inv_m + \
         (arm * arm / I).sum(2) + R_reg[:, None]
     # impedance scales only the stiffness term (mj_referenceConstraint)
     aref = (d * CONTACT_K * pen)[:, None] - CONTACT_B * (v_pt @ edges.T)
-    b_arr = a_pt0 @ edges.T - aref                            # (16, 4)
+    b_arr = a_pt0 @ edges.T - aref                            # (48, 4)
 
     # Hybrid sweep on ½fᵀ(A+R)f + fᵀb, f ≥ 0 — matrix-free via the
     # aggregate generalized wrench (F_w, T_b) = Σ J_jᵀ f_j; stages

@@ -118,6 +118,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_horizon", type=int, default=1000)
     p.add_argument("--play", action="store_true")
     p.add_argument("--play_steps", type=int, default=1000)
+    p.add_argument("--live", action="store_true",
+                   help="serve a LIVE browser view during --play (the "
+                        "reference's vpython while-stepping canvas, as a "
+                        "stdlib HTTP page; prints the URL)")
+    p.add_argument("--live_port", type=int, default=0,
+                   help="port for --live (0 = ephemeral)")
+    p.add_argument("--live_hold", type=float, default=0.0,
+                   help="keep the --live server up this many seconds "
+                        "after the rollout ends")
     p.add_argument("--gif", default=None, help="write the play rollout as a GIF")
     p.add_argument("--html", default=None,
                    help="write the play rollout as an interactive HTML "
@@ -364,7 +373,16 @@ def train(args) -> ppo.TrainState:
 def _greedy_rollout(env, args, greedy_step):
     """Shared ``--play`` loop: single-env greedy stepping with
     reset-on-done, returning the stacked obs trajectory.
-    ``greedy_step(state) -> StepOut`` applies the policy and steps."""
+    ``greedy_step(state) -> StepOut`` applies the policy and steps.
+    With ``--live``, each stepped obs streams to the browser viewer AS
+    the loop runs (the reference's vpython while-stepping canvas,
+    render/live_view.py)."""
+    viewer = None
+    if getattr(args, "live", False):
+        from ..render import LiveViewer
+
+        viewer = LiveViewer(args.env, port=args.live_port)
+        print(f"# live view: {viewer.url}", flush=True)
     s = env.reset(jax.random.PRNGKey(args.seed + 1))
     total_reward, episodes = 0.0, 0
     states = []
@@ -372,12 +390,20 @@ def _greedy_rollout(env, args, greedy_step):
         out = greedy_step(s)
         total_reward += float(out.reward)
         states.append(np.asarray(out.obs))
+        if viewer is not None:
+            viewer.push(states[-1])
         truncated = out.truncated is not None and bool(out.truncated)
         if bool(out.done) or truncated:  # episode boundary incl. time_limit
             episodes += 1
             s = env.reset(jax.random.PRNGKey(args.seed + 3 + t))
         else:
             s = out.state
+    if viewer is not None:
+        viewer.finish()
+        if args.live_hold > 0:
+            print(f"# live view held for {args.live_hold}s: {viewer.url}",
+                  flush=True)
+            time.sleep(args.live_hold)
     return np.stack(states), total_reward, episodes
 
 

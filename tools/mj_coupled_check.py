@@ -90,22 +90,35 @@ scenarios["flat_drop"] = (np.array([0,0,0.05,1,0,0,0,0,0,0,0,0,0], float), None)
 ang = np.deg2rad(40.0)
 qt = np.zeros(13); qt[2]=0.12; qt[3]=np.cos(ang/2); qt[4]=np.sin(ang/2); qt[7]=0.3
 scenarios["tumble40"] = (qt, None)
-# reset pop-out (z=0): NOTE arms contact here in full mj
+# reset pop-out (z=0): arms contact here in full mj
 scenarios["reset_popout"] = (np.zeros(13) + np.array([0,0,0,1]+[0]*9, float), None)
 
-# per-state qacc checks along NOARM mj trajectories (inner-step states)
-for name, (q0s, ctrl) in scenarios.items():
-    traj = mj_traj(m_noarm, q0s, steps=200, ctrl=ctrl)
-    states = traj[::5]
-    check_states(m_noarm, states, f"qacc[noarm] {name}")
+# adversarial random-thrust ground-crawling (the regime that motivated
+# the arm-corner candidates, r4 verdict #5): asymmetric thrusts tip the
+# quad onto arm tips while it scrapes along the floor.
+_crawl_rng = np.random.default_rng(0)
+_crawl_ctrl_seq = _crawl_rng.uniform(0.0, 0.55, size=(400, 4))
+scenarios["crawl_random_thrust"] = (
+    np.array([0, 0, 0.026, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0], float),
+    lambda t: _crawl_ctrl_seq[t],
+)
 
-# full-trajectory divergence: oracle vs FULL mj (arms enabled) and vs noarm
+# per-state qacc checks along FULL mj trajectories (arms enabled — the
+# oracle now carries the arm-corner candidates)
+for name, (q0s, ctrl) in scenarios.items():
+    traj = mj_traj(m, q0s, steps=200, ctrl=ctrl)
+    states = traj[::5]
+    check_states(m, states, f"qacc[full] {name}")
+
+# full-trajectory divergence: oracle vs FULL mj (arms enabled; noarm
+# kept as the what-if-we-had-skipped-arms reference)
 print()
 for name, (q0s, ctrl) in scenarios.items():
     for label, model in (("full", m), ("noarm", m_noarm)):
-        mjt = mj_traj(model, q0s, steps=100, ctrl=ctrl)
+        steps = 300 if name == "crawl_random_thrust" else 100
+        mjt = mj_traj(model, q0s, steps=steps, ctrl=ctrl)
         # oracle _physics_step = ONE inner dt step: compare 1:1
-        ours = oracle_traj(q0s, steps=100, ctrl=ctrl)
+        ours = oracle_traj(q0s, steps=steps, ctrl=ctrl)
         mjo = mjt
         dp = np.abs(mjo[:, :3] - ours[:, :3]).max()
         dq = np.abs(mjo[:, 3:7] - ours[:, 3:7]).max()
