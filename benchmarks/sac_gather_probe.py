@@ -85,18 +85,24 @@ if __name__ == "__main__":
 # copies on G semaphores, waits, and writes the (R, G) block out.
 
 def pallas_gather_fn(R=32, CAP=1 << 21, BATCH=8192, G=128):
-    import functools
-
+    """ROW-gather kernel on the packed (CAP/4, 128) ring: per grid step,
+    a wave of G (1, 128) row DMAs (Mosaic requires lane-aligned slices —
+    single-COLUMN DMAs of an (R, CAP) ring are rejected outright) on G
+    semaphores, overlapped, then one block write.  Output is the raw
+    (BATCH, 128) rows; the caller's 4-way phase select unpacks.
+    ``idx`` here is the ROW index (sample//4)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    CAPP = CAP // 4
 
     def kernel(idx_ref, buf_ref, out_ref, scratch, sems):
         g = pl.program_id(0)
 
         def start(i, _):
-            c = idx_ref[g * G + i]
+            r = idx_ref[g * G + i]
             pltpu.make_async_copy(
-                buf_ref.at[:, pl.ds(c, 1)], scratch.at[:, pl.ds(i, 1)],
+                buf_ref.at[pl.ds(r, 1), :], scratch.at[pl.ds(i, 1), :],
                 sems.at[i],
             ).start()
             return 0
@@ -105,7 +111,7 @@ def pallas_gather_fn(R=32, CAP=1 << 21, BATCH=8192, G=128):
 
         def wait(i, _):
             pltpu.make_async_copy(
-                buf_ref.at[:, pl.ds(0, 1)], scratch.at[:, pl.ds(i, 1)],
+                buf_ref.at[pl.ds(0, 1), :], scratch.at[pl.ds(i, 1), :],
                 sems.at[i],
             ).wait()
             return 0
@@ -119,35 +125,65 @@ def pallas_gather_fn(R=32, CAP=1 << 21, BATCH=8192, G=128):
             num_scalar_prefetch=1,
             grid=(BATCH // G,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
-            out_specs=pl.BlockSpec((R, G), lambda b, *_: (0, b)),
+            out_specs=pl.BlockSpec((G, 128), lambda b, *_: (b, 0)),
             scratch_shapes=[
-                pltpu.VMEM((R, G), jnp.float32),
+                pltpu.VMEM((G, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((G,)),
             ],
         )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((R, BATCH), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((BATCH, 128), jnp.float32),
         )(idx, buf)
 
     return gather
 
 
 def probe_pallas_gather():
+    ringp = jnp.zeros((CAP // 4, 128), jnp.float32)
+    for G in (128, 256, 512):  # lane dim must be 128-divisible
+        gf = pallas_gather_fn(CAP=CAP, BATCH=BATCH, G=G)
+
+        def g(buf, idx, gf=gf):
+            rows = gf(buf, idx // 4)          # (BATCH, 128) raw rows
+            ph = (idx % 4)[:, None]
+            out = jnp.where(ph == 0, rows[:, 0:32],
+                  jnp.where(ph == 1, rows[:, 32:64],
+                  jnp.where(ph == 2, rows[:, 64:96], rows[:, 96:128])))
+            return out.T
+
+        t = timeit(scan_over(g), ringp, jax.random.PRNGKey(1))
+        print(f"pallas row dma (G={G}): {t*1e3:7.3f} ms")
+
+
+def probe_packed_rows():
+    """4-samples-per-128-lane-row packing: the gather becomes fully
+    lane-aligned (1, 128) row slices + a 4-way lane select — no
+    pallas, no per-column layout ops.  Sample i lives in row i//4,
+    lanes 32*(i%4):32*(i%4)+32."""
     R = 32
-    ring32 = jnp.zeros((R, CAP), jnp.float32) + jnp.arange(
-        R, dtype=jnp.float32)[:, None]
-    for G in (64, 128, 256, 512):
-        gf = pallas_gather_fn(R=R, CAP=CAP, BATCH=BATCH, G=G)
-        t = timeit(scan_over(lambda buf, idx, gf=gf: gf(buf, idx)), ring32,
-                   jax.random.PRNGKey(1))
-        print(f"pallas col dma (G={G}): {t*1e3:7.3f} ms")
-    # reference on the same 32-row ring
-    ring32_rows = jnp.asarray(ring32.T)
-    print(f"vmap slice (R=32)     : "
+    CAPP = CAP // 4
+    ringp = jnp.arange(CAPP * 128, dtype=jnp.float32).reshape(CAPP, 128)
+
+    def g_packed(buf, idx):
+        row = idx // 4
+        ph = (idx % 4)[:, None]
+        rows = jax.vmap(
+            lambda r: jax.lax.dynamic_slice(
+                buf, (r, jnp.zeros((), r.dtype)), (1, 128)))(row)[:, 0]
+        out = jnp.where(ph == 0, rows[:, 0:32],
+              jnp.where(ph == 1, rows[:, 32:64],
+              jnp.where(ph == 2, rows[:, 64:96], rows[:, 96:128])))
+        return out.T
+
+    print(f"packed rows (4/row)   : "
+          f"{timeit(scan_over(g_packed), ringp, jax.random.PRNGKey(1))*1e3:7.3f} ms")
+    ring32 = jnp.zeros((R, CAP), jnp.float32)
+    print(f"vmap colslice (R=32)  : "
           f"{timeit(scan_over(g_vmap_colslice), ring32, jax.random.PRNGKey(1))*1e3:7.3f} ms")
 
 
 if __name__ == "__main__":
+    probe_packed_rows()
     probe_pallas_gather()
