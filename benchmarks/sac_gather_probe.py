@@ -84,7 +84,7 @@ if __name__ == "__main__":
 # in HBM (memory_space ANY); each grid step issues a wave of G column
 # copies on G semaphores, waits, and writes the (R, G) block out.
 
-def pallas_gather_fn(R=32, CAP=1 << 21, BATCH=8192, G=128):
+def pallas_gather_fn(CAP=1 << 21, BATCH=8192, G=128):
     """ROW-gather kernel on the packed (CAP/4, 128) ring: per grid step,
     a wave of G (1, 128) row DMAs (Mosaic requires lane-aligned slices —
     single-COLUMN DMAs of an (R, CAP) ring are rejected outright) on G
@@ -94,7 +94,7 @@ def pallas_gather_fn(R=32, CAP=1 << 21, BATCH=8192, G=128):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    CAPP = CAP // 4
+    del CAP  # ring extent is carried by the buf argument itself
 
     def kernel(idx_ref, buf_ref, out_ref, scratch, sems):
         g = pl.program_id(0)
@@ -142,7 +142,10 @@ def pallas_gather_fn(R=32, CAP=1 << 21, BATCH=8192, G=128):
 
 def probe_pallas_gather():
     ringp = jnp.zeros((CAP // 4, 128), jnp.float32)
-    for G in (128, 256, 512):  # lane dim must be 128-divisible
+    # G=512 crashes the remote compile helper outright (measured
+    # 2026-08-20) — a 512-deep DMA-semaphore wave exceeds what Mosaic
+    # will lower; the recorded A/B is G in {128, 256}.
+    for G in (128, 256):  # lane dim must be 128-divisible
         gf = pallas_gather_fn(CAP=CAP, BATCH=BATCH, G=G)
 
         def g(buf, idx, gf=gf):

@@ -694,6 +694,8 @@ def chunked_throughput_rollout(env: EnvDef, init_states, key, horizon: int,
     horizon = int(horizon)
     if horizon <= 0:
         raise ValueError(f"horizon must be positive, got {horizon}")
+    if probe_steps <= 0:
+        raise ValueError(f"probe_steps must be positive, got {probe_steps}")
 
     compiled: dict = {}
 

@@ -9,8 +9,9 @@ that with stdlib only: a background ``ThreadingHTTPServer`` serves a
 self-contained canvas page (the same scene drawing as
 ``render/html_view.py``) that polls ``/frames.json``; the play loop
 pushes each state as it is stepped.  Open the printed URL in any
-browser (port-forward from the TPU host if remote) and watch the quad
-fly as the loop runs.
+browser (``ssh -L`` port-forward from the TPU host if remote — the
+server binds loopback by default; pass ``host="0.0.0.0"`` to expose it
+deliberately) and watch the quad fly as the loop runs.
 
 Usage (the CLI wires this as ``--play --live``)::
 
@@ -99,7 +100,12 @@ async function poll() {{
   try {{
     const r = await fetch('/frames.json?since=' + seq);
     const j = await r.json();
-    if (j.seq !== seq) {{ FRAMES = j.frames; seq = j.seq; draw(); }}
+    if (j.seq !== seq) {{
+      if (j.base > seq) FRAMES = j.frames;   // gap: server trail wrapped
+      else FRAMES.push(...j.frames);
+      if (FRAMES.length > 4000) FRAMES.splice(0, FRAMES.length - 4000);
+      seq = j.seq; draw();
+    }}
     document.getElementById('st').textContent =
       j.done ? '(rollout finished — ' + j.seq + ' frames)' : 't=' + (j.seq*DT).toFixed(2) + 's';
   }} catch (e) {{
@@ -121,7 +127,7 @@ class LiveViewer:
     server runs on a daemon thread and dies with the process (or call
     :meth:`close`)."""
 
-    def __init__(self, env_name: str, port: int = 0, host: str = "0.0.0.0",
+    def __init__(self, env_name: str, port: int = 0, host: str = "127.0.0.1",
                  dt: float = 0.02, extent: float = 3.0):
         self.env_name = env_name
         self._dt = dt
@@ -150,12 +156,24 @@ class LiveViewer:
 
             def do_GET(self):
                 if self.path.startswith("/frames.json"):
+                    since = -1
+                    if "since=" in self.path:
+                        try:
+                            since = int(self.path.split("since=")[1]
+                                        .split("&")[0])
+                        except ValueError:
+                            pass
+                    # Copy the NEW slice under the lock, serialize outside
+                    # it — a full-trail dump per poll would both stall the
+                    # play loop's push() and ship redundant data.
                     with viewer._lock:
-                        body = json.dumps({
-                            "seq": viewer._seq,
-                            "done": viewer._done,
-                            "frames": viewer._frames,
-                        }, separators=(",", ":")).encode()
+                        seq, done = viewer._seq, viewer._done
+                        count = min(len(viewer._frames), max(0, seq - since))
+                        frames = viewer._frames[-count:] if count else []
+                    body = json.dumps({
+                        "seq": seq, "base": seq - count, "done": done,
+                        "frames": frames,
+                    }, separators=(",", ":")).encode()
                     ctype = "application/json"
                 elif self.path == "/" or self.path.startswith("/index"):
                     body, ctype = viewer._page, "text/html"

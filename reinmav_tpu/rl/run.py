@@ -383,27 +383,31 @@ def _greedy_rollout(env, args, greedy_step):
 
         viewer = LiveViewer(args.env, port=args.live_port)
         print(f"# live view: {viewer.url}", flush=True)
-    s = env.reset(jax.random.PRNGKey(args.seed + 1))
-    total_reward, episodes = 0.0, 0
-    states = []
-    for t in range(args.play_steps):
-        out = greedy_step(s)
-        total_reward += float(out.reward)
-        states.append(np.asarray(out.obs))
+    try:
+        s = env.reset(jax.random.PRNGKey(args.seed + 1))
+        total_reward, episodes = 0.0, 0
+        states = []
+        for t in range(args.play_steps):
+            out = greedy_step(s)
+            total_reward += float(out.reward)
+            states.append(np.asarray(out.obs))
+            if viewer is not None:
+                viewer.push(states[-1])
+            truncated = out.truncated is not None and bool(out.truncated)
+            if bool(out.done) or truncated:  # episode boundary / time_limit
+                episodes += 1
+                s = env.reset(jax.random.PRNGKey(args.seed + 3 + t))
+            else:
+                s = out.state
         if viewer is not None:
-            viewer.push(states[-1])
-        truncated = out.truncated is not None and bool(out.truncated)
-        if bool(out.done) or truncated:  # episode boundary incl. time_limit
-            episodes += 1
-            s = env.reset(jax.random.PRNGKey(args.seed + 3 + t))
-        else:
-            s = out.state
-    if viewer is not None:
-        viewer.finish()
-        if args.live_hold > 0:
-            print(f"# live view held for {args.live_hold}s: {viewer.url}",
-                  flush=True)
-            time.sleep(args.live_hold)
+            viewer.finish()
+            if args.live_hold > 0:
+                print(f"# live view held for {args.live_hold}s: {viewer.url}",
+                      flush=True)
+                time.sleep(args.live_hold)
+    finally:
+        if viewer is not None:
+            viewer.close()  # no leaked server/socket on repeated play calls
     return np.stack(states), total_reward, episodes
 
 
@@ -456,9 +460,9 @@ def play_recurrent(args, state=None):
 
     @jax.jit
     def greedy_step(params, h, done_prev, s):
-        obs_t = s[: env.obs_dim].astype(jnp.float32)[:, None]
-        h2, mean, _, _ = recurrent.policy_step(params, h, obs_t, done_prev)
-        out = env.step(s, mean[:, 0].astype(s.dtype))
+        a, h2 = recurrent.greedy_action(
+            env, params, h, s[: env.obs_dim].astype(jnp.float32), done_prev)
+        out = env.step(s, a.astype(s.dtype))
         return out, h2
 
     # The hidden is the play loop's carry: _greedy_rollout resets the
