@@ -1,0 +1,96 @@
+"""A/B: baked-constant vs live-SMEM-params throughput kernels (r5).
+
+The r4 ``pallas_params_cost`` A/B measured ~3.4% for delivering the env
+Params through SMEM instead of baking them as compile-time constants
+(12.61B vs 13.05B quad3d closed-loop steps/s, same session).  r5 made
+the dispatch bake WHENEVER the env params equal the registry defaults
+(``envs/core._live_params_vec``), so default-params runs — including
+the headline bench — get the baked variant for free while sweeps keep
+the SMEM fast path.  This harness re-measures both variants back to
+back on the real chip to confirm the recovery.
+
+Timings force a host transfer per the CLAUDE.md rule
+(block_until_ready under-reports on the tunnelled runtime).  Run on an
+IDLE host only.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+import reinmav_tpu
+from reinmav_tpu.ops import pallas_rollout, pallas_tpuquad
+
+BATCH = 2_097_152
+HORIZON = 1000
+REPS = 3
+
+
+def _time(fn):
+    float(fn(7)[1].sum())  # compile + sync
+    times = []
+    for i in range(REPS):
+        t0 = time.perf_counter()
+        float(fn(i)[1].sum())
+        times.append(time.perf_counter() - t0)
+    return BATCH * HORIZON / min(times)
+
+
+def main():
+    env = reinmav_tpu.make("quadrotor3d-v0")
+    states_t = env.vreset(
+        jax.random.split(jax.random.PRNGKey(0), BATCH)).T.astype("float32")
+
+    smem_vec = pallas_rollout.quad3d_params_vec(env.params)
+    rows = {}
+    # Alternate the order across reps is overkill; measure each twice
+    # and keep the max (min-of-times inside _time already drops noise).
+    for name, pvec in (("baked", None), ("smem", smem_vec),
+                       ("baked2", None), ("smem2", smem_vec)):
+        rows[name] = _time(lambda seed, pv=pvec: (
+            pallas_rollout.quad3d_rollout_autoreset_pallas8(
+                states_t, seed, HORIZON, params_vec=pv)))
+        print(f"quad3d {name}: {rows[name]/1e9:.3f} B steps/s", flush=True)
+
+    baked = max(rows["baked"], rows["baked2"])
+    smem = max(rows["smem"], rows["smem2"])
+    out = {
+        "quad3d_baked_steps_per_sec": round(baked),
+        "quad3d_smem_steps_per_sec": round(smem),
+        "baked_over_smem": round(baked / smem, 4),
+        "config": f"b{BATCH}-h{HORIZON}",
+    }
+
+    # Hover kernel (MujocoQuadForce-v1): same A/B at its bench tile.
+    henv = reinmav_tpu.make("MujocoQuadForce-v1")
+    hstates_t = henv.vreset(
+        jax.random.split(jax.random.PRNGKey(1), 524288)).T.astype("float32")
+    hvec = pallas_tpuquad.hover_params_vec(henv.params)
+
+    def htime(pv):
+        def fn(seed):
+            return pallas_tpuquad.hover_rollout_pallas8(
+                hstates_t, 500, params_vec=pv)
+        float(fn(0)[1].sum())
+        times = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            float(fn(0)[1].sum())
+            times.append(time.perf_counter() - t0)
+        return 524288 * 500 / min(times)
+
+    hb = max(htime(None), htime(None))
+    hs = max(htime(hvec), htime(hvec))
+    out.update(hover_baked_steps_per_sec=round(hb),
+               hover_smem_steps_per_sec=round(hs),
+               hover_baked_over_smem=round(hb / hs, 4))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ dtype-polymorphic — float32 for TPU throughput, float64 (under
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -54,6 +55,17 @@ def episode_boundary(out: StepOut) -> jnp.ndarray:
     """Episode-end mask: terminated OR truncated (what auto-reset and
     baselines-style GAE masking use)."""
     return out.done if out.truncated is None else out.done | out.truncated
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _jitted_env_call(fn, params, *args):
+    """Function-keyed jit behind the single-env ``step``/``control``
+    conveniences: one compile per (fn, params, shapes).  Params must be
+    STATIC — step fns use structural fields in Python control flow
+    (``range(p.frame_skip)``, the contact_enabled gate).  Under an
+    outer jit this inlines at trace time (jit-in-jit), so
+    batched/rollout paths are unchanged."""
+    return fn(params, *args)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,8 +124,16 @@ class EnvDef:
                 np.asarray(self.action_high_phys, np.float32))
 
     # -- single-env conveniences ------------------------------------------
+    # step/control run through a function-keyed jit (params stay a traced
+    # argument, so swept Params share the compile): op-by-op eager
+    # dispatch of the contact envs costs seconds/step AND eagerly
+    # compiling their custom_vmap jaxpr has segfaulted XLA:CPU late in
+    # long sessions (reproducible at tests/test_utils.py::
+    # test_save_html_animation inside the full suite, 2026-08-20).
+    # Python-loop stepping — the reference's idiom
+    # (example/mujoco/control_rpy.py:58-79) — must just work.
     def step(self, state, action) -> StepOut:
-        return self.step_fn(self.params, state, action)
+        return _jitted_env_call(self.step_fn, self.params, state, action)
 
     def reset(self, key) -> jnp.ndarray:
         return self.reset_fn(self.params, key)
@@ -121,7 +141,7 @@ class EnvDef:
     def control(self, state) -> jnp.ndarray:
         if self.control_fn is None:
             raise NotImplementedError(f"{self.name} has no classical controller")
-        return self.control_fn(self.params, state)
+        return _jitted_env_call(self.control_fn, self.params, state)
 
     # -- batched kernels ---------------------------------------------------
     # Two batch layouts:
@@ -454,6 +474,20 @@ def fused_kernel_mismatch(env: EnvDef, require_control: bool = True,
     return None
 
 
+def _live_params_vec(env: EnvDef):
+    """SMEM params vector for ``env``'s throughput kernel, or None for
+    the baked-constant kernel variant when ``env.params`` IS the
+    registry default (Python-float equality at trace time — the live
+    SMEM reads cost a measured ~3.4% on quad3d, ``pallas_params_cost``,
+    so defaults shouldn't pay for the sweeps' flexibility)."""
+    _, _, _, _, default_params, pack = _fused_kernel_registry()[env.name]
+    try:
+        baked = bool(env.params == default_params)
+    except Exception:  # traced params can't be compared concretely
+        baked = False
+    return None if baked else pack(env.params)
+
+
 def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str = "auto",
                        dense8: bool | None = None, return_key: bool = False):
     """Maximum-rate closed-loop rollout: returns only (final_states,
@@ -540,11 +574,12 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
 
             # Zero-action stepping with deterministic auto-reset — the
             # same semantics as the scan fallback (_zero_action_rollout).
-            # Live env Params ride in through the SMEM vector.
+            # Live env Params ride in through the SMEM vector; exactly
+            # default params take the baked-constant variant.
             final_t, reward_sum = pallas_tpuquad.hover_rollout_pallas8(
                 init_states.T.astype(jnp.float32), horizon,
                 tile8=min(256, init_states.shape[0] // 8),
-                params_vec=pallas_tpuquad.hover_params_vec(env.params),
+                params_vec=_live_params_vec(env),
                 frame_skip=env.params.frame_skip,
             )
             return _ret(final_t.T, reward_sum)
@@ -568,23 +603,19 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
             final_t, reward_sum = pallas_rollout.quad2d_rollout_autoreset_pallas8(
                 init_states.T.astype(jnp.float32), seed, horizon,
                 tile8=min(512, init_states.shape[0] // 8),
-                params_vec=pallas_rollout.quad2d_params_vec(env.params),
+                params_vec=_live_params_vec(env),
             )
             return _ret(final_t.T, reward_sum)
         if env.name.endswith("slungload-v0"):
             from ..ops import pallas_slungload
 
-            if "3d" in env.name:
-                kern = pallas_slungload.slung3d_rollout_pallas8
-                pvec = pallas_slungload.slung3d_params_vec(env.params)
-            else:
-                kern = pallas_slungload.slung2d_rollout_pallas8
-                pvec = pallas_slungload.slung2d_params_vec(env.params)
+            kern = (pallas_slungload.slung3d_rollout_pallas8 if "3d" in env.name
+                    else pallas_slungload.slung2d_rollout_pallas8)
             seed = jax.random.randint(key, (), 0, 2**31 - 1)
             final_t, reward_sum = kern(
                 init_states.T.astype(jnp.float32), seed, horizon,
                 tile8=min(256, init_states.shape[0] // 8),
-                params_vec=pvec,
+                params_vec=_live_params_vec(env),
             )
             return _ret(final_t.T, reward_sum)
         from ..ops import pallas_rollout
@@ -593,7 +624,7 @@ def throughput_rollout(env: EnvDef, init_states, key, horizon: int, backend: str
         final_t, reward_sum = pallas_rollout.quad3d_rollout_autoreset_pallas8(
             init_states.T.astype(jnp.float32), seed, horizon,
             tile8=min(512, init_states.shape[0] // 8),
-            params_vec=pallas_rollout.quad3d_params_vec(env.params),
+            params_vec=_live_params_vec(env),
         )
         return _ret(final_t.T, reward_sum)
     if dense8 is None:

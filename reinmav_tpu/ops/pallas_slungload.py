@@ -312,12 +312,16 @@ def slung3d_rollout_pallas8(states_t, seed, horizon: int, tile8: int = 256,
     """Fused closed-loop quadrotor3d-slungload rollout, sublane-dense.
 
     ``states_t``: (16, B) float32, B a multiple of ``8 * tile8``.
-    ``params_vec``: optional :func:`slung3d_params_vec` output (SMEM
-    scalars — the fast path survives param sweeps).
+    ``params_vec``: :func:`slung3d_params_vec` output (live SMEM scalars
+    — the fast path survives param sweeps), or None for the
+    BAKED-constant variant (default Params as compile-time floats, no
+    SMEM reads; the throughput dispatch bakes when the env params ARE
+    the defaults).
     Returns (final_states_t (16, B), reward_sum (B,)).
     """
     if params_vec is None:
-        params_vec = slung3d_params_vec()
+        return component_rollout(
+            _slung3d_step_tiles, 16, states_t, seed, horizon, tile8, autoreset)
     return component_rollout(
         _slung3d_step_tiles, 16, states_t, seed, horizon, tile8, autoreset,
         params_vec=params_vec,
@@ -330,11 +334,14 @@ def slung2d_rollout_pallas8(states_t, seed, horizon: int, tile8: int = 256,
     """Fused closed-loop quadrotor2d-slungload rollout, sublane-dense.
 
     ``states_t``: (9, B) float32, B a multiple of ``8 * tile8``.
-    ``params_vec``: optional :func:`slung2d_params_vec` output.
+    ``params_vec``: :func:`slung2d_params_vec` output (live SMEM
+    scalars), or None for the baked default-constant variant (see
+    :func:`slung3d_rollout_pallas8`).
     Returns (final_states_t (9, B), reward_sum (B,)).
     """
     if params_vec is None:
-        params_vec = slung2d_params_vec()
+        return component_rollout(
+            _slung2d_step_tiles, 9, states_t, seed, horizon, tile8, autoreset)
     return component_rollout(
         _slung2d_step_tiles, 9, states_t, seed, horizon, tile8, autoreset,
         params_vec=params_vec,

@@ -486,14 +486,31 @@ def _hover_step_tiles(comp, raw_action, c=_GROUND, frame_skip: int = 2):
     return comp, done, reward
 
 
+#: Baked-constant hover consts: MujocoQuadForce-v1's registry defaults
+#: (envs/tpuquad.Params(init_z=1.0)) as compile-time Python floats — no
+#: SMEM reads; selected when the env params ARE the defaults.
+_HOVER_BAKED = dict(_GROUND, init_z=1.0, arm=_ARM, yaw_gear=_YAW_GEAR,
+                    ctrl_high=1.0)
+
+
 def _kernel(horizon, action, frame_skip, p_ref, s_ref, out_ref, rew_ref):
+    _hover_kernel_body(_hover_consts(p_ref), horizon, action, frame_skip,
+                       s_ref, out_ref, rew_ref)
+
+
+def _kernel_baked(horizon, action, frame_skip, s_ref, out_ref, rew_ref):
+    _hover_kernel_body(_HOVER_BAKED, horizon, action, frame_skip,
+                       s_ref, out_ref, rew_ref)
+
+
+def _hover_kernel_body(c, horizon, action, frame_skip, s_ref, out_ref,
+                       rew_ref):
     ncomp = 13
-    c = _hover_consts(p_ref)
 
     def rows(s, i):
         return s[8 * i : 8 * (i + 1)]
 
-    # Deterministic reset pose: z = Params.init_z (traced), qw = 1.
+    # Deterministic reset pose: z = Params.init_z (traced or baked), qw = 1.
     shape = (8,) + s_ref.shape[1:]
     zero = jnp.zeros(shape, s_ref.dtype)
     init_rows = jnp.concatenate(
@@ -605,25 +622,31 @@ def hover_rollout_pallas8(states_t: jnp.ndarray, horizon: int,
 
     ``states_t``: (13, B) float32, B a multiple of ``8 * tile8``.
     ``action``: Python 4-tuple of per-motor controls (compile-time
-    constant).  ``params_vec``: optional :func:`hover_params_vec` output
-    (SMEM scalars — the fast path survives param sweeps); ``frame_skip``
-    is static (loop count).  Returns (final_states_t (13, B),
-    reward_sum (B,)).
+    constant).  ``params_vec``: :func:`hover_params_vec` output (live
+    SMEM scalars — the fast path survives param sweeps), or None for
+    the BAKED-constant variant (:data:`_HOVER_BAKED`, the registry
+    default Params as compile-time floats — no SMEM reads);
+    ``frame_skip`` is static (loop count).  Returns
+    (final_states_t (13, B), reward_sum (B,)).
     """
     d, batch = states_t.shape
     assert d == 13 and batch % (8 * tile8) == 0, (d, batch, tile8)
-    if params_vec is None:
-        params_vec = hover_params_vec()
     b8 = batch // 8
     s_rows = states_t.reshape(104, b8)
     grid = (b8 // tile8,)
+    vmem_in = pl.BlockSpec((104, tile8), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    if params_vec is None:
+        kern = functools.partial(_kernel_baked, horizon, action, frame_skip)
+        in_specs, args = [vmem_in], (s_rows,)
+    else:
+        kern = functools.partial(_kernel, horizon, action, frame_skip)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), vmem_in]
+        args = (params_vec.astype(jnp.float32), s_rows)
     out, rew = pl.pallas_call(
-        functools.partial(_kernel, horizon, action, frame_skip),
+        kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((104, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((104, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tile8), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -632,5 +655,5 @@ def hover_rollout_pallas8(states_t: jnp.ndarray, horizon: int,
             jax.ShapeDtypeStruct((104, b8), states_t.dtype),
             jax.ShapeDtypeStruct((8, b8), states_t.dtype),
         ],
-    )(params_vec.astype(jnp.float32), s_rows)
+    )(*args)
     return out.reshape(13, batch), rew.reshape(batch)

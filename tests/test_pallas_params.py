@@ -155,6 +155,91 @@ def test_swept_params_change_the_physics():
     assert np.abs(outs[0] - outs[1]).max() > 1e-3
 
 
+@pytest.mark.parametrize("make_fn", [quadrotor3d.make, quadrotor2d.make,
+                                     quadrotor2d_slungload.make,
+                                     quadrotor3d_slungload.make],
+                         ids=lambda f: f.__module__.rsplit(".", 1)[-1])
+def test_baked_default_variant_matches_smem_defaults(make_fn):
+    """params_vec=None now lowers the BAKED-constant kernel (no SMEM
+    vector); it must agree with the SMEM default-params vector to a few
+    f32 ulps — the same math on the same values; XLA folds Python-float
+    constants slightly differently from SMEM scalar reads (measured
+    max 3e-8 on <0.1% of elements).  Pins the bake-if-default dispatch
+    (`envs/core._live_params_vec`) against a baked constant drifting
+    from the Params default (a real drift is way above ulp noise)."""
+    from reinmav_tpu.envs.core import _live_params_vec
+    from reinmav_tpu.ops import pallas_slungload
+
+    env = make_fn()
+    assert _live_params_vec(env) is None  # defaults -> baked variant
+    kern, pvec_fn = {
+        "quadrotor3d-v0": (
+            pallas_rollout.quad3d_rollout_autoreset_pallas8,
+            pallas_rollout.quad3d_params_vec),
+        "quadrotor2d-v0": (
+            pallas_rollout.quad2d_rollout_autoreset_pallas8,
+            pallas_rollout.quad2d_params_vec),
+        "quadrotor2d-slungload-v0": (
+            pallas_slungload.slung2d_rollout_pallas8,
+            pallas_slungload.slung2d_params_vec),
+        "quadrotor3d-slungload-v0": (
+            pallas_slungload.slung3d_rollout_pallas8,
+            pallas_slungload.slung3d_params_vec),
+    }[env.name]
+    batch = 1024
+    states = env.vreset(jax.random.split(jax.random.PRNGKey(5), batch))
+    st = states.T.astype(jnp.float32)
+    # One step reads every param; the slungloads' taut/slack branch can
+    # flip on 1-ulp noise, so horizon=1 + the tether-sphere exclusion
+    # (the test_pallas_slungload knife-edge precedent).
+    slung = "slungload" in env.name
+    horizon = 1 if slung else 6
+    with pltpu.force_tpu_interpret_mode():
+        f_baked, r_baked = kern(st, 11, horizon, tile8=batch // 8)
+        f_smem, r_smem = kern(st, 11, horizon, tile8=batch // 8,
+                              params_vec=pvec_fn(env.params))
+    keep = _tether_safe(env, states) if slung else np.ones(batch, bool)
+    assert keep.mean() > 0.9
+    np.testing.assert_allclose(np.asarray(f_baked)[:, keep],
+                               np.asarray(f_smem)[:, keep],
+                               rtol=5e-7, atol=5e-7)
+    np.testing.assert_allclose(np.asarray(r_baked)[keep],
+                               np.asarray(r_smem)[keep],
+                               rtol=5e-7, atol=5e-6)
+
+
+def test_baked_hover_variant_matches_smem_defaults():
+    """MujocoQuadForce-v1's baked kernel (_HOVER_BAKED compile-time
+    floats, no SMEM vector) vs the SMEM default-params vector."""
+    from reinmav_tpu.envs.core import _live_params_vec
+    from reinmav_tpu.ops import pallas_tpuquad
+
+    env = tpuquad.make_hovering(tpuquad.Params(init_z=1.0))
+    assert _live_params_vec(env) is None
+    batch = 1024
+    states = env.vreset(jax.random.split(jax.random.PRNGKey(5), batch))
+    st = states.T.astype(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        f_baked, r_baked = pallas_tpuquad.hover_rollout_pallas8(
+            st, 4, tile8=batch // 8)
+        f_smem, r_smem = pallas_tpuquad.hover_rollout_pallas8(
+            st, 4, tile8=batch // 8,
+            params_vec=pallas_tpuquad.hover_params_vec(env.params))
+    np.testing.assert_allclose(np.asarray(f_baked), np.asarray(f_smem),
+                               rtol=5e-7, atol=5e-7)
+    np.testing.assert_allclose(np.asarray(r_baked), np.asarray(r_smem),
+                               rtol=5e-7, atol=5e-4)
+
+
+def test_live_params_vec_swept_params_keep_smem_path():
+    """Swept params must still ride the SMEM vector (not silently bake)."""
+    from reinmav_tpu.envs.core import _live_params_vec
+
+    env = quadrotor3d.make(quadrotor3d.Params(mass=1.3))
+    vec = _live_params_vec(env)
+    assert vec is not None and float(vec[0]) == np.float32(1.3)
+
+
 def test_wrapped_step_fn_still_refused():
     env = quadrotor3d.make()
     import dataclasses
