@@ -202,7 +202,12 @@ def main():
         from reinmav_tpu.ops import pallas_rollout
 
         if pallas_rollout.available() and jax.devices()[0].platform != "cpu":
-            for batch in (524288, 2097152):
+            # The kernel's per-env rate keeps rising with batch because
+            # the tunnel's ~28 ms dispatch floor amortises (18% of a 2M
+            # dispatch, ~1% at 32M): 2M 13.5B -> 8M 15.4B -> 32M 16.0B
+            # (r5 probe, results.json pallas_batch_scaling).  32M envs
+            # is ~5.4 GB of HBM traffic per dispatch — well inside v5e.
+            for batch in (2097152, 8388608, 33554432):
                 sps = bench_pallas(env, batch, horizon=1000, key=key)
                 if sps > best:
                     best, best_cfg = sps, f"pallas-b{batch}"
