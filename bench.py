@@ -114,7 +114,14 @@ def bench_ppo(env, key) -> tuple[float, str]:
     cfg = ppo.PpoConfig(num_envs=32768, rollout_len=32,
                         fused_update=fused_update)
     n = cfg.num_envs * cfg.rollout_len
-    K = 8
+    # K=256 updates folded per dispatch: the tunnel's per-dispatch
+    # overhead (~28 ms floor + host sync) is ~23% of a K=8 dispatch
+    # (0.13 s) and ~1% at K=256 (2.96 s) — measured ladder 64.9M (K=8)
+    # -> 85.0M (K=64) -> 90.5M (K=256), results.json
+    # ppo_dispatch_folding.  Real (non-tunnelled) hardware has no such
+    # floor; folding matches how the CLI trains anyway
+    # (--updates_per_jit).
+    K = 256
     state = ppo.init_train_state(env, cfg, key)
     fn = ppo.make_train_many(env, cfg, K)
     s, m = fn(state)
@@ -127,7 +134,7 @@ def bench_ppo(env, key) -> tuple[float, str]:
         times.append(time.perf_counter() - t0)
     assert np.isfinite(float(np.asarray(m["v_loss"])))
     tag = ("fusedupdate" if ppo._fused_update_enabled(cfg) else "fusedloss")
-    return K * n / min(times), f"quad3d-b32768-T32-{tag}-K8"
+    return K * n / min(times), f"quad3d-b32768-T32-{tag}-K{K}"
 
 
 def bench_sac(key) -> tuple[float, str]:
@@ -168,11 +175,13 @@ def bench_sac(key) -> tuple[float, str]:
     cfg = sac.SacConfig(num_envs=65536, batch_size=8192,
                         buffer_capacity=1 << 21, warmup_steps=0,
                         fused_collect=fused_collect)
-    # K=256 folds per dispatch: per-iteration compute is ~0.6 ms, so the
-    # tunnel's ~28 ms dispatch floor dominates at small K (r4 probes:
-    # a TRIVIAL K=64 scan costs 0.45 ms/iter — pure dispatch floor).
-    # On non-tunnelled hardware the floor is absent; K amortises it here.
-    K = 256
+    # K=4096 iterations folded per dispatch: per-iteration compute is
+    # ~0.6 ms, so the tunnel's per-dispatch overhead is ~16% of a K=256
+    # dispatch (0.20 s) and ~1% at K=4096 (2.66 s) — measured ladder
+    # 84.7M (K=256) -> 97.5M (K=1024) -> 100.8M (K=4096), results.json
+    # sac_dispatch_folding.  Non-tunnelled hardware has no floor; the
+    # off-policy loop is one compiled scan either way.
+    K = 4096
     state = sac.init_state(env, cfg, jax.random.PRNGKey(1))
     fn = sac.make_train_iters(env, cfg, K)
     state, m = fn(state)
@@ -186,7 +195,7 @@ def bench_sac(key) -> tuple[float, str]:
     assert np.isfinite(float(np.asarray(m["q_loss"])))
     tag = "fusedcollect" if fused_collect == "auto" else "scan"
     return (K * cfg.num_envs / min(times),
-            f"hover-b65536-batch8192-{tag}-uniform-K256")
+            f"hover-b65536-batch8192-{tag}-uniform-K{K}")
 
 
 def main():
