@@ -216,10 +216,17 @@ def _update_kernel(cfg, d, adim, tile, group, steps_per_mb, n_passes,
 
     # ---- accumulate into the packed grad plane (8-aligned stores) --------
     def rpad(m, n):
+        # A ZERO-row pad (m already n rows — e.g. slung3d's d=16 == s1)
+        # must skip the concat: Mosaic rejects (0, 128) vectors at
+        # lowering ("vector types must have positive constant sizes").
+        if m.shape[0] == n:
+            return m
         return jnp.concatenate([m, jnp.zeros((n - m.shape[0], h2dim),
                                              jnp.float32)])
 
     def lpad(row):
+        if row.shape[1] == h2dim:  # same zero-width-concat guard
+            return row
         return jnp.concatenate(
             [row, jnp.zeros((1, h2dim - row.shape[1]), jnp.float32)], axis=1)
 

@@ -57,12 +57,21 @@ def _one_update(env, cfg, state, fused_update):
         return jax.tree.map(lambda x: np.asarray(x), step(state))
 
 
-def test_full_update_matches_minibatch_loop():
+import pytest
+
+
+@pytest.mark.parametrize("env_id", [
+    "quadrotor3d-v0", "quadrotor3d-slungload-v0", "MujocoQuadForce-v1"])
+def test_full_update_matches_minibatch_loop(env_id):
     """Same TrainState through (a) the per-minibatch fused-loss loop with
     optax and (b) the one-launch full-update kernel: params, Adam
     moments, count, carried key, and metrics must agree (Adam's
-    beta^t is the only non-shared arithmetic -> tight rtol)."""
-    env = reinmav_tpu.make("quadrotor3d-v0")
+    beta^t is the only non-shared arithmetic -> tight rtol).
+    slung3d covers the d=16 zero-row-pad regression (the grad-plane
+    packing crashed Mosaic lowering, fixed 2026-08-20 — this interpret
+    differential pins the numerics; test_tpu_export pins the
+    lowering)."""
+    env = reinmav_tpu.make(env_id)
     cfg = _cfg()
     state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(0))
 

@@ -29,8 +29,8 @@ pytestmark = pytest.mark.skipif(jax_export is None,
                                 reason="jax.export unavailable")
 
 
-def _export_train_step(cfg):
-    env = reinmav_tpu.make("quadrotor3d-v0")
+def _export_train_step(cfg, env_id="quadrotor3d-v0"):
+    env = reinmav_tpu.make(env_id)
     state = ppo.init_train_state(env, cfg, jax.random.PRNGKey(0))
     fn = jax.jit(lambda s: ppo.train_step(
         env, cfg, s, fused_loss=True,
@@ -65,6 +65,26 @@ def test_fused_rollout_plus_update_lowers_for_tpu():
     _export_train_step(ppo.PpoConfig(
         num_envs=2048, rollout_len=32, hidden=(64, 64), shuffle_tile=128,
         fused_loss="on", fused_update="on", fused_rollout="on"))
+
+
+@pytest.mark.parametrize("env_id", [
+    "quadrotor3d-v0", "quadrotor2d-v0", "quadrotor2d-slungload-v0",
+    "quadrotor3d-slungload-v0", "MujocoQuadForce-v1"])
+def test_fused_fast_path_lowers_for_tpu_all_reward_envs(env_id):
+    """The production fast path (fused rollout + fused update) lowers
+    for TPU on EVERY reward-bearing env id.  Regression: slung3d's
+    d=16 hit a zero-row pad in the update kernel's grad-plane packing
+    (Mosaic rejects (0, 128) vectors) that only surfaced at lowering —
+    interpret-mode differentials can't see Mosaic, and the quad3d-only
+    export tests missed it (caught on-chip 2026-08-20).  Production f32
+    semantics (x64 off for the trace, the throughput-test precedent) —
+    the hover kernel's literals promote to f64 under the suite's x64
+    config, a cast Mosaic rightly refuses."""
+    with jax.enable_x64(False):
+        _export_train_step(ppo.PpoConfig(
+            num_envs=2048, rollout_len=32, hidden=(64, 64), shuffle_tile=128,
+            fused_loss="on", fused_update="on", fused_rollout="on"),
+            env_id=env_id)
 
 
 def test_throughput_kernels_lower_for_tpu_all_ids():
