@@ -31,14 +31,14 @@ HORIZON = 1000
 REPS = 3
 
 
-def _time(fn):
+def _time(fn, batch=BATCH, horizon=HORIZON):
     float(fn(7)[1].sum())  # compile + sync
     times = []
     for i in range(REPS):
         t0 = time.perf_counter()
         float(fn(i)[1].sum())
         times.append(time.perf_counter() - t0)
-    return BATCH * HORIZON / min(times)
+    return batch * horizon / min(times)
 
 
 def main():
@@ -73,16 +73,9 @@ def main():
     hvec = pallas_tpuquad.hover_params_vec(henv.params)
 
     def htime(pv):
-        def fn(seed):
-            return pallas_tpuquad.hover_rollout_pallas8(
-                hstates_t, 500, params_vec=pv)
-        float(fn(0)[1].sum())
-        times = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            float(fn(0)[1].sum())
-            times.append(time.perf_counter() - t0)
-        return 524288 * 500 / min(times)
+        # hover kernel takes no seed — ignore it, reuse the same harness
+        return _time(lambda seed, pv=pv: pallas_tpuquad.hover_rollout_pallas8(
+            hstates_t, 500, params_vec=pv), batch=524288, horizon=500)
 
     hb = max(htime(None), htime(None))
     hs = max(htime(hvec), htime(hvec))

@@ -124,11 +124,12 @@ class EnvDef:
                 np.asarray(self.action_high_phys, np.float32))
 
     # -- single-env conveniences ------------------------------------------
-    # step/control run through a function-keyed jit (params stay a traced
-    # argument, so swept Params share the compile): op-by-op eager
-    # dispatch of the contact envs costs seconds/step AND eagerly
-    # compiling their custom_vmap jaxpr has segfaulted XLA:CPU late in
-    # long sessions (reproducible at tests/test_utils.py::
+    # step/control run through a function-keyed jit with params STATIC
+    # (one compile per distinct Params — structural fields like
+    # frame_skip need Python control flow, see _jitted_env_call):
+    # op-by-op eager dispatch of the contact envs costs seconds/step AND
+    # eagerly compiling their custom_vmap jaxpr has segfaulted XLA:CPU
+    # late in long sessions (reproducible at tests/test_utils.py::
     # test_save_html_animation inside the full suite, 2026-08-20).
     # Python-loop stepping — the reference's idiom
     # (example/mujoco/control_rpy.py:58-79) — must just work.

@@ -95,6 +95,26 @@ def _tether_safe(env, states, eps=1e-4):
     return np.abs(tn - L) > eps
 
 
+def _done_margin_safe(env, post_states, eps=1e-5):
+    """Lanes whose POST-step norms sit farther than eps from every done
+    threshold (the kernel evaluates done on the post-step state; a lane
+    within ulp of a threshold can reset in one arm only)."""
+    s = np.asarray(post_states)
+    if env.name == "quadrotor3d-v0":
+        pn = np.linalg.norm(s[:, 0:3], axis=1)
+        vn = np.linalg.norm(s[:, 7:10], axis=1)
+        lims = [(pn, env.params.pos_limit), (vn, env.params.vel_limit)]
+    else:  # quadrotor2d-v0: [x, z, theta, vx, vz]
+        pn = np.linalg.norm(s[:, 0:2], axis=1)
+        vn = np.linalg.norm(s[:, 3:5], axis=1)
+        lims = [(pn, env.params.pos_limit), (vn, 10.0),
+                (vn, env.params.vel_limit)]
+    keep = np.ones(s.shape[0], bool)
+    for norm, lim in lims:
+        keep &= np.abs(norm - float(lim)) > eps
+    return keep
+
+
 def _ids(case):
     return case[0](case[1]).name
 
@@ -189,16 +209,20 @@ def test_baked_default_variant_matches_smem_defaults(make_fn):
     batch = 1024
     states = env.vreset(jax.random.split(jax.random.PRNGKey(5), batch))
     st = states.T.astype(jnp.float32)
-    # One step reads every param; the slungloads' taut/slack branch can
-    # flip on 1-ulp noise, so horizon=1 + the tether-sphere exclusion
-    # (the test_pallas_slungload knife-edge precedent).
+    # ONE step reads every param.  Every branch boundary gets an
+    # exclusion band: the slungloads' taut/slack sphere (the
+    # test_pallas_slungload knife-edge precedent) AND the quads' done
+    # thresholds — a 1-ulp baked-vs-SMEM drift on a lane sitting on
+    # ‖pos‖==pos_limit would reset one arm but not the other, an O(1)
+    # flake the 5e-7 tolerance can't absorb.
     slung = "slungload" in env.name
-    horizon = 1 if slung else 6
+    horizon = 1
     with pltpu.force_tpu_interpret_mode():
         f_baked, r_baked = kern(st, 11, horizon, tile8=batch // 8)
         f_smem, r_smem = kern(st, 11, horizon, tile8=batch // 8,
                               params_vec=pvec_fn(env.params))
-    keep = _tether_safe(env, states) if slung else np.ones(batch, bool)
+    keep = _tether_safe(env, states) if slung else _done_margin_safe(
+        env, np.asarray(f_smem).T)
     assert keep.mean() > 0.9
     np.testing.assert_allclose(np.asarray(f_baked)[:, keep],
                                np.asarray(f_smem)[:, keep],

@@ -6,6 +6,7 @@ runs in interpret mode; float32.)"""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import reinmav_tpu
 from reinmav_tpu.ops import pallas_ppo_update as ppu
@@ -55,9 +56,6 @@ def _one_update(env, cfg, state, fused_update):
         env, cfg, s, fused_loss=True, fused_update=fused_update))
     with pltpu.force_tpu_interpret_mode():
         return jax.tree.map(lambda x: np.asarray(x), step(state))
-
-
-import pytest
 
 
 @pytest.mark.parametrize("env_id", [
