@@ -109,8 +109,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_interval", type=int, default=50)
     p.add_argument("--log_interval", type=int, default=10)
     p.add_argument("--updates_per_jit", type=int, default=1,
-                   help="fold this many PPO updates into one compiled call "
-                        "(amortises dispatch on remote TPU runtimes)")
+                   help="fold this many updates (PPO) / iterations "
+                        "(sac/td3/ddpg) into one compiled call — amortises "
+                        "per-dispatch overhead on remote TPU runtimes, worth "
+                        "~30%% at 16-256 for PPO and up to ~20%% at 1024-4096 "
+                        "for the off-policy loops (results.json "
+                        "ppo_dispatch_folding / sac_dispatch_folding)")
     p.add_argument("--log_dir", default=None)
     p.add_argument("--eval_interval", type=int, default=0,
                    help="greedy-policy evaluation every N logged updates (0=off)")
