@@ -137,6 +137,11 @@ def main():
     ap.add_argument("--only", default="",
                     help="substring filter: re-measure only matching env ids "
                          "(other rows in results.json are kept)")
+    ap.add_argument("--also_batch", type=int, default=0,
+                    help="additionally measure each env at this batch in the "
+                         "SAME run (the merge invalidates ALL of an env's "
+                         "old rows per run, so modest- and large-batch rows "
+                         "must come from one invocation)")
     args = ap.parse_args()
 
     results = {"device": str(jax.devices()[0]), "sweeps": []}
@@ -168,6 +173,14 @@ def main():
             # PARITY.md's headline must map to a committed artifact).
             row = bench_env(env_id, args.batch, args.horizon)
             row["note"] = "large-batch row (kernel intrinsic rate)"
+            results["sweeps"].append(row)
+            print(json.dumps(row), flush=True)
+        if args.also_batch and args.also_batch != batch:
+            row = bench_env(env_id, args.also_batch, args.horizon,
+                            scan_chunk=scan_chunk)
+            row["note"] = ("large-batch row (dispatch floor amortised; "
+                           "the kernels' per-env rate keeps rising with "
+                           "batch — results.json pallas_batch_scaling)")
             results["sweeps"].append(row)
             print(json.dumps(row), flush=True)
 
