@@ -486,6 +486,11 @@ def _hover_step_tiles(comp, raw_action, c=_GROUND, frame_skip: int = 2):
     return comp, done, reward
 
 
+#: Per-sub-call batch cap for the hover throughput kernel (the
+#: tunnelled-runtime erratum worked around in hover_rollout_pallas8);
+#: module-level so tests can shrink it to pin sliced ≡ unsliced.
+_HOVER_MAX_DISPATCH_B = 262144
+
 #: Baked-constant hover consts: MujocoQuadForce-v1's registry defaults
 #: (envs/tpuquad.Params(init_z=1.0)) as compile-time Python floats — no
 #: SMEM reads; selected when the env params ARE the defaults.
@@ -631,6 +636,27 @@ def hover_rollout_pallas8(states_t: jnp.ndarray, horizon: int,
     """
     d, batch = states_t.shape
     assert d == 13 and batch % (8 * tile8) == 0, (d, batch, tile8)
+    # Tunnelled-runtime erratum (observed 2026-08-20, v5e): a single
+    # hover-kernel call at batch ≳ 450k, run in a process where a
+    # SMALLER-batch hover executable ran earlier, returns garbage in the
+    # final 128 lanes (reward AND state; tile8/SMEM-variant independent;
+    # quad3d/contact kernels at identical shapes are unaffected, and a
+    # fresh process running only the large batch is clean).  Slice big
+    # batches into 262144-env sub-calls — that size never corrupted in
+    # any ramp — inside this same jit; the grid is embarrassingly
+    # parallel so semantics are unchanged (interpret differentials
+    # cover it).
+    max_b = _HOVER_MAX_DISPATCH_B
+    if batch > max_b and max_b % (8 * tile8) == 0:
+        outs, rews = [], []
+        for lo in range(0, batch, max_b):
+            chunk = states_t[:, lo:lo + max_b]
+            o, r = hover_rollout_pallas8(chunk, horizon, tile8=tile8,
+                                         action=action, params_vec=params_vec,
+                                         frame_skip=frame_skip)
+            outs.append(o)
+            rews.append(r)
+        return jnp.concatenate(outs, axis=1), jnp.concatenate(rews)
     b8 = batch // 8
     s_rows = states_t.reshape(104, b8)
     grid = (b8 // tile8,)

@@ -147,3 +147,25 @@ def test_contact_kernel_matches_scan(env_id, model, monkeypatch):
     # Contact genuinely engaged: bodies stay near the plane, not in
     # freefall.
     assert np.asarray(f_pal.T)[:, 2].min() > -0.1
+
+
+def test_hover_sliced_dispatch_matches_single(monkeypatch):
+    """The hover wrapper slices batches above _HOVER_MAX_DISPATCH_B into
+    sub-calls (tunnelled-runtime erratum 2026-08-20: a single large call
+    after a smaller hover executable corrupts the final 128 lanes on
+    hardware).  Shrink the cap so the slicing path runs on CPU and pin
+    sliced ≡ unsliced bitwise (the grid is embarrassingly parallel)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    env = reinmav_tpu.make("MujocoQuadForce-v1")
+    batch = 4096
+    states_t = env.vreset(
+        jax.random.split(jax.random.PRNGKey(7), batch)).T.astype(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        f1, r1 = pallas_tpuquad.hover_rollout_pallas8(states_t, 5, tile8=128)
+        monkeypatch.setattr(pallas_tpuquad, "_HOVER_MAX_DISPATCH_B", 1024)
+        pallas_tpuquad.hover_rollout_pallas8.clear_cache()
+        f2, r2 = pallas_tpuquad.hover_rollout_pallas8(states_t, 5, tile8=128)
+    pallas_tpuquad.hover_rollout_pallas8.clear_cache()  # drop the patched trace
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
